@@ -1,0 +1,113 @@
+"""Unit tests for the bs4-semantics subset htmlmini must honor.
+
+Each case pins a behavior the extraction layer depends on (citations to the
+reference usage site in /root/reference/src/fakepilot/).
+"""
+
+import re
+
+from fakepilot_spark.htmlmini import parse
+
+
+def test_comment_splits_text_nodes():
+    # xray.py:43-45 — next(tag.strings) must stop before the comment split.
+    dom = parse("<h1 class='title_displayName'>Sumeria<!-- --> </h1>")
+    tag = dom.find(class_=re.compile("title_displayName"))
+    assert list(tag.strings) == ["Sumeria", " "]
+    assert next(tag.strings) == "Sumeria"
+
+
+def test_string_none_when_multiple_children():
+    dom = parse("<p id='x'>16,327<!-- --> <span>total</span></p>")
+    tag = dom.find(attrs={"id": "x"})
+    assert tag.string is None
+    assert next(tag.strings) == "16,327"
+
+
+def test_string_recurses_single_child_chain():
+    # xray.py:120-128 — categories are li > a > text chains.
+    dom = parse("<li id='c'><a href='/x'>Bank</a></li>")
+    assert dom.find(attrs={"id": "c"}).string == "Bank"
+
+
+def test_entity_decoding_nbsp():
+    # xray.py:70 strips \xa0 thousand separators produced by &nbsp;.
+    dom = parse("<span id='n'>16&nbsp;327</span>")
+    assert dom.find(attrs={"id": "n"}).string == "16\xa0327"
+
+
+def test_class_regex_multivalued():
+    # bs4 matches the regex against each whitespace-split class token.
+    dom = parse("<div class='card styles_reviewListContainer__kkBNk wide'>x</div>")
+    assert dom.find(class_=re.compile("styles_reviewListContainer")) is not None
+    assert dom.find(class_=re.compile("^wide$")) is not None
+    assert dom.find(class_=re.compile("absent")) is None
+
+
+def test_find_all_limit_early_exit():
+    # __init__.py:38-40 — limit=nreviews.
+    dom = parse("".join(f"<div data-service-review-card-paper>{i}</div>" for i in range(10)))
+    cards = dom.find_all(
+        lambda t: t.has_attr("data-service-review-card-paper"), limit=3
+    )
+    assert [c.string for c in cards] == ["0", "1", "2"]
+
+
+def test_name_and_class_filter():
+    # xray.py:95 — find_all("li", class_=re.compile(...)).
+    dom = parse(
+        "<ul><li class='styles_itemRow__a'>A</li>"
+        "<div class='styles_itemRow__b'>not-li</div>"
+        "<li class='other'>B</li></ul>"
+    )
+    rows = dom.find_all("li", class_=re.compile("styles_itemRow"))
+    assert [r.string for r in rows] == ["A"]
+
+
+def test_string_search_matches_text_nodes():
+    # xray.py:131-137 — find(string=re.compile("Claimed profile")).
+    dom = parse("<div><span>Claimed profile</span><span>other</span></div>")
+    assert dom.find(string=re.compile("Claimed profile")) is not None
+    assert dom.find(string=re.compile("Unclaimed zzz")) is None
+
+
+def test_strings_excludes_script_style_and_comments():
+    dom = parse(
+        "<div id='d'>a<script>var x='hidden';</script>b<style>.c{}</style>"
+        "<!--note-->c</div>"
+    )
+    assert "".join(dom.find(attrs={"id": "d"}).strings) == "abc"
+
+
+def test_attr_names_lowercased_and_bare_attrs_empty():
+    dom = parse("<time dateTime='2024-01-01' data-flag>t</time>")
+    t = dom.find("time")
+    assert t["datetime"] == "2024-01-01"
+    assert t.has_attr("data-flag") and t["data-flag"] == ""
+
+
+def test_void_elements_do_not_nest():
+    dom = parse("<p id='p'>a<br>b<img src='x'>c</p>")
+    tag = dom.find(attrs={"id": "p"})
+    assert list(tag.strings) == ["a", "b", "c"]
+    assert tag.string is None
+
+
+def test_mismatched_end_tag_recovery():
+    dom = parse("<div id='o'><span>a</b></span>b</div>")
+    assert "".join(dom.find(attrs={"id": "o"}).strings) == "ab"
+
+
+def test_attr_entities_decoded():
+    dom = parse('<a id="l" href="/u?a=1&amp;b=2">x</a>')
+    assert dom.find(attrs={"id": "l"})["href"] == "/u?a=1&b=2"
+
+
+def test_duplicate_attr_first_wins():
+    dom = parse("<div id='first' id='second'>x</div>")
+    assert dom.find("div")["id"] == "first"
+
+
+def test_bytes_input():
+    dom = parse("<p>café</p>".encode("utf-8"))
+    assert dom.find("p").string == "café"
