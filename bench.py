@@ -1,0 +1,157 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec", "queries": {name:
+sec}, "sf", ...extras}.
+
+Headline components:
+* ``crawl_pipeline`` — the north-star metric: a multi-epoch frontier crawl
+  (drain → robots/politeness → fetch-join → pandas-UDF extraction → expand →
+  sketch-guarded dedupe → checkpoint) over a deterministic synthetic corpus
+  sized by SF; reports urls/sec as ``urls_per_sec``.
+* representative operator queries from the driver contract (forced with a
+  noop write so timing measures execution, not result transfer).
+
+Scaling evidence (north rule ≥0.8 N→4N): scripts/scaling_bench.py runs this
+file in fresh subprocesses at local[8] and local[32] and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries timed in the relational/ops section of the headline suite
+BENCH_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "segment_order_revenue",
+    "window_top_orders_per_customer",
+    "user_sessions",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "extract_synth_companies",
+    "extract_synth_reviews",
+    "frontier_topk_drain",
+]
+
+
+def _sf_of(path: str) -> float:
+    name = Path(path).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Execute the full plan; returns row count (cheap vs the work itself)."""
+    return df.count()
+
+
+def crawl_bench(spark, sf: float) -> dict:
+    """The headline: crawl a synthetic corpus sized by SF, report urls/sec."""
+    from fakepilot_spark.corpus import synth_pages
+    from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
+
+    n_pages = max(2_000, int(200_000 * sf))
+    pages = synth_pages(
+        spark, n_pages, partitions=CPUS * 2, hosts=101,
+        skew_mega_host=True, reviews_per_page=3, links_per_page=4,
+    ).cache()
+    pages.count()  # materialize corpus outside the timed section
+
+    seeds = [
+        r["url"]
+        for r in pages.select("url").where(f"page_id < {max(32, n_pages // 100)}").collect()
+    ]
+    ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt,
+        seeds=seeds,
+        max_epochs=3,
+        global_batch=n_pages,
+        default_budget=max(8, n_pages // 64),
+        nreviews=3,
+        use_sketches=True,
+        bloom_capacity=max(n_pages * 4, 1 << 18),
+        cuckoo_partitions=32,
+        cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
+    )
+    engine = CrawlEngine(spark, pages, cfg)
+    t0 = time.time()
+    summary = engine.run()
+    wall = time.time() - t0
+    pages.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "wall_sec": round(wall, 3),
+        "urls_fetched": summary["total_fetched"],
+        "urls_per_sec": round(summary["total_fetched"] / wall, 2),
+        "epochs": len(summary["epochs"]),
+    }
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    from fakepilot_spark.ops import registry
+    from fakepilot_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(
+        app_name=f"fakepilot-bench-sf{sf}",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS, 32),
+    )
+    queries, _ = registry()
+
+    timings: dict = {}
+    total = 0.0
+
+    crawl = crawl_bench(spark, sf)
+    timings["crawl_pipeline"] = crawl["wall_sec"]
+    total += crawl["wall_sec"]
+
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "URLs fetched+extracted/sec (byte-identical vs fakepilot fixtures) + operator suite wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "urls_per_sec": crawl["urls_per_sec"],
+                "urls_fetched": crawl["urls_fetched"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

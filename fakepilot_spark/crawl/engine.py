@@ -1,0 +1,413 @@
+"""The epoch-loop crawl scheduler: drain → admit → fetch → extract → expand →
+commit, resumable from per-epoch manifests.
+
+Architecture (north rule, BASELINE.json:6,14):
+
+* frontier = priority queue as a table; drain is a window rank inside hosts
+  (politeness) + an ordered global ``LIMIT`` (micro-batch), both pure
+  functions of (score desc, url asc) — parallelism-invariant by construction.
+* URL-seen = broadcast bloom pre-filter (definitely-new links skip the exact
+  anti-join) → per-partition cuckoo filters (second-stage, partitioned by
+  ``pmod(xxhash64(url), P)``) → exact left-anti residual. Sketches are built
+  per-partition and merged tree-wise (``RDD.treeReduce``).
+* fetch = equi-join of the admitted batch against the pages corpus on ``url``
+  (the sandbox's stand-in for HTTP; AQE splits the mega-host skew).
+* extract = the vectorized pandas-UDF pipeline (company + reviews + links).
+* commit = companies/reviews/lineage/seen-delta/frontier snapshot/sketches
+  written under ``epoch=N`` paths; the epoch manifest JSON is written last
+  and is the atomic commit point — resume replays from the highest manifest.
+
+Iceberg surface: tables are partitioned Parquet behind stable paths (jars
+absent in sandbox, SURVEY.md §8); on a real cluster the writes become
+``writeTo(...).append()`` with identical layout.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extract.udfs import make_page_extractor
+from .frontier import FRONTIER_SCHEMA, score_expr, with_frontier_columns
+from .politeness import admit_per_host, apply_robots, politeness_df, robots_df
+from .sketches import BloomFilter, CuckooFilter
+
+__all__ = ["CrawlConfig", "CrawlEngine"]
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    seeds: list
+    max_epochs: int = 8
+    global_batch: int = 10_000
+    default_budget: int = 4
+    nreviews: int = 3
+    robots_rules: dict = field(default_factory=dict)
+    host_budgets: dict = field(default_factory=dict)
+    use_sketches: bool = True
+    bloom_capacity: int = 1 << 20
+    bloom_fpp: float = 0.01
+    cuckoo_partitions: int = 16
+    cuckoo_capacity_per_partition: int = 1 << 16
+
+
+def _manifest_path(ckpt: Path, epoch: int) -> Path:
+    return ckpt / "manifests" / f"epoch_{epoch:05d}.json"
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, pages: DataFrame, config: CrawlConfig):
+        self.spark = spark
+        self.pages = pages
+        self.cfg = config
+        self.ckpt = Path(config.checkpoint_dir)
+        (self.ckpt / "manifests").mkdir(parents=True, exist_ok=True)
+        self._extract = make_page_extractor(
+            nreviews=config.nreviews, with_reviews=True, with_links=True, strict=False
+        )
+        self._robots = robots_df(spark, config.robots_rules)
+        self._politeness = politeness_df(spark, config.host_budgets)
+
+    # -- state io -----------------------------------------------------------
+
+    def last_committed_epoch(self) -> int:
+        epochs = [
+            int(p.stem.split("_")[1])
+            for p in (self.ckpt / "manifests").glob("epoch_*.json")
+        ]
+        return max(epochs, default=-1)
+
+    def _frontier_path(self, epoch: int) -> str:
+        return str(self.ckpt / "frontier" / f"epoch={epoch}")
+
+    def _seen_path(self, epoch: int) -> str:
+        return str(self.ckpt / "seen" / f"epoch={epoch}")
+
+    def _read_seen_through(self, epoch: int) -> DataFrame:
+        # epoch -1 holds the seed delta; deltas are append-only per epoch.
+        paths = [self._seen_path(e) for e in range(-1, epoch + 1)]
+        return self.spark.read.schema("url string").parquet(*paths)
+
+    # -- sketches -----------------------------------------------------------
+
+    def _build_bloom(self, urls: DataFrame, prev: bytes | None) -> bytes:
+        """Per-partition blooms over xxhash64(url), tree-merged."""
+        proto = (
+            BloomFilter.from_bytes(prev)
+            if prev is not None
+            else BloomFilter.for_capacity(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+        )
+        n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+        def part_filter(rows):
+            bf = BloomFilter(n_bits, n_hashes)
+            hashes = np.fromiter((r[0] for r in rows), dtype=np.int64)
+            if hashes.size:
+                bf.add_many(hashes.view(np.uint64))
+            yield bf
+
+        rdd = urls.select(F.xxhash64("url")).rdd.mapPartitions(part_filter)
+        parts = rdd.collect() if rdd.getNumPartitions() == 1 else None
+        merged = (
+            parts[0]
+            if parts
+            else rdd.treeReduce(lambda a, b: a.merge(b))
+        )
+        return proto.merge(merged).to_bytes()
+
+    def _build_cuckoos(self, urls: DataFrame, prev: dict) -> dict:
+        """Per-key-partition cuckoo filters: urls land in partition
+        pmod(xxhash64(url), P); each partition's filter is built executor-side
+        and merged with the previous epoch's blob for the same partition."""
+        P = self.cfg.cuckoo_partitions
+        cap = self.cfg.cuckoo_capacity_per_partition
+
+        hashed = urls.select(
+            F.xxhash64("url").alias("h"),
+            F.pmod(F.xxhash64("url"), F.lit(P)).cast("int").alias("pid"),
+        ).repartition(P, "pid")
+
+        def build(pdfs):
+            acc: dict = {}
+            for pdf in pdfs:
+                for pid, grp in pdf.groupby("pid"):
+                    cf = acc.get(pid)
+                    if cf is None:
+                        cf = acc[pid] = CuckooFilter.for_capacity(cap)
+                    cf.add_many(grp["h"].to_numpy().view(np.uint64))
+            for pid, cf in acc.items():
+                yield pd.DataFrame({"pid": [pid], "blob": [cf.to_bytes()]})
+
+        built = hashed.mapInPandas(build, "pid int, blob binary").collect()
+        out = dict(prev)
+        for row in built:
+            pid, blob = row["pid"], bytes(row["blob"])
+            if pid in out:
+                out[pid] = (
+                    CuckooFilter.from_bytes(out[pid])
+                    .merge(CuckooFilter.from_bytes(blob))
+                    .to_bytes()
+                )
+            else:
+                out[pid] = blob
+        return out
+
+    def _sketch_prefilter(
+        self, links: DataFrame, bloom_blob: bytes, cuckoo_blobs: dict
+    ) -> DataFrame:
+        """Adds ``maybe_seen``: False ⇒ provably never enqueued (bloom, then
+        cuckoo, both no-false-negative) ⇒ skips the exact anti-join."""
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        sc = self.spark.sparkContext
+        b_bloom = sc.broadcast(bloom_blob)
+        b_cuckoo = sc.broadcast(cuckoo_blobs)
+        P = self.cfg.cuckoo_partitions
+
+        def check(pdfs):
+            bf = BloomFilter.from_bytes(b_bloom.value)
+            cuckoos = {}
+            for pdf in pdfs:
+                if pdf.empty:
+                    pdf["maybe_seen"] = pd.Series([], dtype=bool)
+                    yield pdf
+                    continue
+                h = pdf["h"].to_numpy().view(np.uint64)
+                maybe = bf.contains_many(h)
+                if maybe.any() and b_cuckoo.value:
+                    pids = pdf["pid"].to_numpy()
+                    refined = maybe.copy()
+                    for i in np.nonzero(maybe)[0]:
+                        pid = int(pids[i])
+                        cf = cuckoos.get(pid)
+                        if cf is None:
+                            blob = b_cuckoo.value.get(pid)
+                            if blob is None:
+                                refined[i] = False
+                                continue
+                            cf = cuckoos[pid] = CuckooFilter.from_bytes(blob)
+                        refined[i] = bool(
+                            cf.contains_many(h[i : i + 1])[0]
+                        )
+                    maybe = refined
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = maybe
+                yield pdf
+
+        hashed = links.withColumn("h", F.xxhash64("url")).withColumn(
+            "pid", F.pmod(F.xxhash64("url"), F.lit(P)).cast("int")
+        )
+        # fresh StructType: mutating a DataFrame's cached schema in place is
+        # not visible JVM-side and breaks mapInPandas resolution.
+        out_schema = StructType(
+            list(hashed.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+        return hashed.mapInPandas(check, out_schema).drop("h", "pid")
+
+    # -- epoch step ---------------------------------------------------------
+
+    def run(self, max_epochs: int | None = None) -> dict:
+        """Run (or resume) the crawl; returns the summary of the whole run."""
+        cfg = self.cfg
+        limit = max_epochs if max_epochs is not None else cfg.max_epochs
+        start_epoch = self.last_committed_epoch() + 1
+
+        if start_epoch == 0:
+            from .frontier import seeds_frontier
+
+            frontier = seeds_frontier(self.spark, cfg.seeds)
+            frontier.write.mode("overwrite").parquet(self._frontier_path(-1) )
+            frontier.select("url").write.mode("overwrite").parquet(
+                self._seen_path(-1)
+            )
+            bloom = self._build_bloom(
+                frontier.select("url"), None
+            ) if cfg.use_sketches else None
+            cuckoos = (
+                self._build_cuckoos(frontier.select("url"), {})
+                if cfg.use_sketches
+                else {}
+            )
+            self._write_sketches(-1, bloom, cuckoos)
+            _manifest_path(self.ckpt, -1).parent.mkdir(exist_ok=True)
+            _manifest_path(self.ckpt, -1).write_text(
+                json.dumps({"epoch": -1, "seeded": len(cfg.seeds)})
+            )
+            start_epoch = 0
+
+        summaries = []
+        for epoch in range(start_epoch, limit):
+            summary = self._run_epoch(epoch)
+            summaries.append(summary)
+            if summary["pending_after"] == 0:
+                break
+        return {
+            "epochs": summaries,
+            "total_fetched": sum(s["urls_fetched"] for s in summaries),
+        }
+
+    def _write_sketches(self, epoch: int, bloom: bytes | None, cuckoos: dict) -> None:
+        d = self.ckpt / "sketches" / f"epoch={epoch}"
+        d.mkdir(parents=True, exist_ok=True)
+        if bloom is not None:
+            (d / "bloom.bin").write_bytes(bloom)
+        if cuckoos:
+            pdf = pd.DataFrame(
+                {"pid": list(cuckoos), "blob": [cuckoos[k] for k in cuckoos]}
+            )
+            self.spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+                str(d / "cuckoo")
+            )
+
+    def _read_sketches(self, epoch: int):
+        d = self.ckpt / "sketches" / f"epoch={epoch}"
+        bloom = (d / "bloom.bin").read_bytes() if (d / "bloom.bin").exists() else None
+        cuckoos = {}
+        if (d / "cuckoo").exists():
+            for row in self.spark.read.parquet(str(d / "cuckoo")).collect():
+                cuckoos[int(row["pid"])] = bytes(row["blob"])
+        return bloom, cuckoos
+
+    def _run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._frontier_path(epoch - 1)
+        )
+        bloom, cuckoos = (
+            self._read_sketches(epoch - 1) if cfg.use_sketches else (None, {})
+        )
+
+        # 1. robots + politeness admission, then the ordered global micro-batch.
+        allowed = apply_robots(pending, self._robots)
+        admitted = admit_per_host(allowed, self._politeness, cfg.default_budget)
+        batch = admitted.orderBy(F.desc("score"), F.asc("url")).limit(
+            cfg.global_batch
+        )
+        batch = batch.cache()
+        batch_n = batch.count()
+
+        # 2. fetch = join against the pages corpus (AQE handles skew).
+        fetched = batch.select("url", "depth").join(
+            self.pages.select("url", "warc_ts", "html"), "url", "inner"
+        )
+
+        # 3. extract (one Arrow batch per partition chunk).
+        extracted = fetched.select(
+            "url", "depth", "warc_ts", self._extract("html").alias("x")
+        ).cache()
+        companies = extracted.select(
+            "url", F.col("x.company.*"), F.col("x.error").alias("extract_error")
+        )
+        reviews = extracted.select(
+            "url", F.posexplode_outer("x.reviews").alias("review_idx", "r")
+        ).select("url", "review_idx", "r.*")
+
+        epoch_dir = lambda name: str(self.ckpt / name / f"epoch={epoch}")  # noqa: E731
+        companies.write.mode("overwrite").parquet(epoch_dir("companies"))
+        reviews.write.mode("overwrite").parquet(epoch_dir("reviews"))
+        fetched_n = extracted.count()
+
+        # 4. lineage: per-partition fetch accounting (north rule fields).
+        lineage = (
+            extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("urls_fetched"))
+            .withColumn("frontier_epoch", F.lit(epoch))
+            .withColumn("fetch_ts", F.current_timestamp())
+        )
+        lineage.write.mode("overwrite").parquet(epoch_dir("lineage"))
+
+        # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
+        #    exact residual anti-join against the full seen set.
+        links = (
+            extracted.select(
+                F.explode_outer("x.links").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .filter(F.col("url").startswith("http"))
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+        )
+        seen = self._read_seen_through(epoch - 1)
+        if cfg.use_sketches and bloom is not None:
+            flagged = self._sketch_prefilter(links, bloom, cuckoos)
+            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            residual = (
+                flagged.filter(F.col("maybe_seen"))
+                .drop("maybe_seen")
+                .join(seen, "url", "left_anti")
+            )
+            new_urls = definitely_new.unionByName(residual)
+        else:
+            new_urls = links.join(seen, "url", "left_anti")
+        new_frontier = with_frontier_columns(
+            new_urls, F.col("depth"), epoch + 1
+        ).cache()
+        new_n = new_frontier.count()
+
+        # 6. next frontier snapshot: survivors (pending minus this batch) +
+        #    the newly discovered URLs; laid out by (host_prefix, salt).
+        survivors = pending.join(batch.select("url"), "url", "left_anti")
+        next_frontier = survivors.unionByName(new_frontier).repartition(
+            max(self.spark.sparkContext.defaultParallelism, 4),
+            "host_prefix",
+            "salt",
+        )
+        next_frontier.write.mode("overwrite").parquet(self._frontier_path(epoch))
+        pending_after = self.spark.read.parquet(self._frontier_path(epoch)).count()
+
+        # 7. seen delta + sketches, then the manifest commit.
+        new_frontier.select("url").write.mode("overwrite").parquet(
+            self._seen_path(epoch)
+        )
+        if cfg.use_sketches:
+            bloom = self._build_bloom(new_frontier.select("url"), bloom)
+            cuckoos = self._build_cuckoos(new_frontier.select("url"), cuckoos)
+        self._write_sketches(epoch, bloom, cuckoos)
+
+        summary = {
+            "epoch": epoch,
+            "batch": batch_n,
+            "urls_fetched": fetched_n,
+            "urls_missing": batch_n - fetched_n,
+            "new_urls": new_n,
+            "pending_after": pending_after,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        _manifest_path(self.ckpt, epoch).write_text(json.dumps(summary))
+        batch.unpersist()
+        extracted.unpersist()
+        new_frontier.unpersist()
+        return summary
+
+    # -- views over committed results ----------------------------------------
+
+    def companies_df(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.ckpt / "companies"))
+
+    def reviews_df(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.ckpt / "reviews"))
+
+    def fetched_urls_in_order(self) -> list:
+        """Crawl order: (epoch asc, score desc, url asc) — the deterministic
+        total order the oracle must match."""
+        out = []
+        for epoch in range(self.last_committed_epoch() + 1):
+            path = self.ckpt / "companies" / f"epoch={epoch}"
+            if not path.exists():
+                continue
+            rows = (
+                self.spark.read.parquet(str(path))
+                .select("url")
+                .collect()
+            )
+            out.append(sorted(r["url"] for r in rows))
+        return out

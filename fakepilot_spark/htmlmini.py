@@ -265,9 +265,17 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse(markup) -> Tag:
-    """Parse HTML (str or utf-8 bytes) into a document ``Tag``."""
+    """Parse HTML (str or utf-8 bytes) into a document ``Tag``.
+
+    Bytes are decoded as utf-8 **with universal-newline translation**
+    (``\r\n``/``\r`` → ``\n``): the reference contract is a *text-mode* file
+    object (``/root/reference/tests/test_xray.py:77``), so byte-identical
+    extraction from a binary ``html`` column requires the same translation.
+    """
     if isinstance(markup, (bytes, bytearray, memoryview)):
         markup = bytes(markup).decode("utf-8", errors="replace")
+        if "\r" in markup:
+            markup = markup.replace("\r\n", "\n").replace("\r", "\n")
     builder = _TreeBuilder()
     builder.feed(markup)
     builder.close()

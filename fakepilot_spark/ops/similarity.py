@@ -1,0 +1,218 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+* brute-force cosine top-k — the correctness baseline; fully native
+  (``zip_with`` dot product inside codegen, no Python);
+* deterministic random-hyperplane LSH bucketing — the scale path: at 10^9
+  vectors the bucket join replaces the n² scan; the hyperplane signs are a
+  pure arithmetic function of (plane, dim) so DuckDB can verify the buckets;
+* per-label centroid reductions (element-wise aggregates over arrays).
+
+All float math casts to double *before* accumulation in the same element
+order on both engines, so values match bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from . import load
+
+_DIMS = 64
+_PLANES = 8
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+# --------------------------------------------------------------------------
+# Q: brute-force cosine top-k vs a fixed query vector (vec_id = 0).
+# --------------------------------------------------------------------------
+
+
+def q_embedding_cosine_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    cand = emb.filter(F.col("vec_id") != 0)
+    scored = cand.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(_as_double(F.col("embedding")), _as_double(F.col("query_vec")))
+            / (_norm(_as_double(F.col("embedding"))) * _norm(_as_double(F.col("query_vec")))),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+_SQL_COSINE_TOPK = """
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Q: per-label centroid reductions (sum/avg over the element sum — scalar
+# projections of the centroid, hashable cross-engine).
+# --------------------------------------------------------------------------
+
+
+def q_embedding_label_stats(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    elem_sum = F.aggregate(
+        _as_double(F.col("embedding")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        emb.select("label", elem_sum.alias("elem_sum"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("elem_sum"), 6).alias("avg_elem_sum"),
+            F.round(F.max("elem_sum"), 6).alias("max_elem_sum"),
+        )
+    )
+
+
+_SQL_LABEL_STATS = """
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(AVG(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum')), 6) AS avg_elem_sum,
+       ROUND(MAX(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum')), 6) AS max_elem_sum
+FROM embeddings
+GROUP BY label
+"""
+
+# --------------------------------------------------------------------------
+# Q: LSH bucketing with deterministic hyperplanes —
+# sign(plane j, dim d) = +1 if (j*1315423911 + d*2654435761) % 2 == 0 else -1.
+# Bucket = 8-bit signature of dot-product signs. Oracle-checkable.
+# --------------------------------------------------------------------------
+
+
+def _plane_sign(j: int, d):
+    # parity of ((j+1)(d+3)·C mod 97): 97 is prime and C ≢ 0 (mod 97), so each
+    # plane is a distinct pseudo-random ±1 pattern over d (a naive linear
+    # parity would collapse all planes onto one pattern up to sign).
+    k = F.pmod((d + 3) * F.lit((1 + j) * 2654435761), F.lit(97))
+    return F.when(F.pmod(k, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _plane_merge(j: int):
+    """Factory closing over the plane index (a 2-arg lambda for aggregate)."""
+
+    def merge(acc, d):
+        return acc + F.element_at(
+            F.col("embedding"), (d + 1).cast("int")
+        ).cast("double") * _plane_sign(j, d)
+
+    return merge
+
+
+def _bucket_expr():
+    bucket = None
+    for j in range(_PLANES):
+        proj = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_DIMS - 1)), F.lit(0.0), _plane_merge(j)
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def q_embedding_lsh_buckets(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    bucket = _bucket_expr()
+    return (
+        emb.select(bucket.alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+_SQL_LSH_BUCKETS = """
+WITH sig AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 8), j ->
+           CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                  CAST(embedding[d + 1] AS DOUBLE) *
+                  (CASE WHEN ((d + 3) * ((1 + j) * 2654435761)) % 97 % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) > 0
+                THEN (1 << j) ELSE 0 END)) AS bucket
+  FROM embeddings
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM sig
+GROUP BY bucket
+"""
+
+# --------------------------------------------------------------------------
+# Q: embedding near-dup pairs via LSH buckets + exact cosine rerank
+# (the IVF/LSH scale pattern: candidates from buckets, exact check after).
+# Rows-only: pair set depends on the bucket partition above.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_near_dup_pairs(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    # recompute bucket per vector (cheap, codegen) rather than reusing the agg
+    vecs = emb.select("vec_id", _bucket_expr().alias("bucket"), "embedding")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            _dot(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding")))
+            / (
+                _norm(_as_double(F.col("a.embedding")))
+                * _norm(_as_double(F.col("b.embedding")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.9)
+
+
+QUERIES = {
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+}
+
+ORACLES = {
+    "embedding_cosine_topk": _SQL_COSINE_TOPK,
+    "embedding_label_stats": _SQL_LABEL_STATS,
+    "embedding_lsh_buckets": _SQL_LSH_BUCKETS,
+    # embedding_near_dup_pairs: rows-only (pair set = LSH candidates ∩ rerank).
+}
