@@ -61,35 +61,48 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _force(df) -> int:
-    """Execute the full plan; returns row count (cheap vs the work itself)."""
-    return df.count()
+def _force(df) -> None:
+    """Execute the full plan, evaluating EVERY output column.
+
+    ``count()`` is wrong here: Catalyst prunes projections count doesn't
+    need, which silently skips e.g. extraction UDFs. The noop sink forces
+    full evaluation without result transfer.
+    """
+    df.write.format("noop").mode("overwrite").save()
 
 
 def crawl_bench(spark, sf: float) -> dict:
-    """The headline: crawl a synthetic corpus sized by SF, report urls/sec."""
+    """The headline: crawl a synthetic corpus sized by SF, report urls/sec.
+
+    Pages are fixture-realistic (~270 KB: 25 review cards + tag-soup ballast;
+    real Trustpilot pages are 0.3–1 MB, SURVEY.md §0) and batches are large —
+    the regime a production crawl actually runs in, where per-epoch scheduling
+    overhead amortizes against Python-CPU extraction. The corpus is NOT
+    cached: the fetch join regenerates pages JVM-side (column-pruned, cheap),
+    standing in for fetch I/O, so memory stays flat at any SF.
+    """
     from fakepilot_spark.corpus import synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
 
     n_pages = max(2_000, int(200_000 * sf))
     pages = synth_pages(
         spark, n_pages, partitions=CPUS * 2, hosts=101,
-        skew_mega_host=True, reviews_per_page=3, links_per_page=4,
-    ).cache()
-    pages.count()  # materialize corpus outside the timed section
+        skew_mega_host=True, reviews_per_page=25, links_per_page=4,
+        filler_kb=250,
+    )
 
     seeds = [
         r["url"]
-        for r in pages.select("url").where(f"page_id < {max(32, n_pages // 100)}").collect()
+        for r in pages.select("url").where(f"page_id % 3 = 1").collect()
     ]
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(
         checkpoint_dir=ckpt,
         seeds=seeds,
-        max_epochs=3,
+        max_epochs=2,
         global_batch=n_pages,
-        default_budget=max(8, n_pages // 64),
-        nreviews=3,
+        default_budget=n_pages,
+        nreviews=20,
         use_sketches=True,
         bloom_capacity=max(n_pages * 4, 1 << 18),
         cuckoo_partitions=32,
@@ -99,7 +112,6 @@ def crawl_bench(spark, sf: float) -> dict:
     t0 = time.time()
     summary = engine.run()
     wall = time.time() - t0
-    pages.unpersist()
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "wall_sec": round(wall, 3),

@@ -36,7 +36,7 @@ review content      '' if (id+i)%7==0 else 'Review body {id} part {i}'
 review nreviews     1 + (id+i)%30
 review country      ['US','FR','ES','NO','DK'][(id+i)%5]
 review date_exp     ts'2025-01-01' + ((id+i)%365) days
-link k              url of page (id*7919 + k*104729 + 1) % n_pages
+link k              url of page ((id + 1 + k*977) * 40503) % n_pages
 ==================  =========================================================
 """
 
@@ -180,13 +180,35 @@ def _links_footer(pid: Column, links_per_page: int, n_pages: Column, hosts: int,
             F.sequence(F.lit(0), F.lit(links_per_page - 1)),
             lambda k: F.concat(
                 F.lit('<a href="'),
-                _url_of(F.pmod(pid * 7919 + k * 104729 + 1, n_pages), hosts, skew),
+                _url_of(F.pmod((pid + 1 + k * 977) * 40503, n_pages), hosts, skew),
                 F.lit('">more</a>'),
             ),
         ),
         "",
     )
     return F.concat(F.lit("<footer>"), anchors, F.lit("</footer>"))
+
+
+def _filler_block(pid: Column, filler_kb: int) -> Column:
+    """Realistic tag-soup ballast: real Trustpilot pages are 300 KB–1 MB
+    (SURVEY.md §0), mostly markup the extractor must scan past. One repeated
+    ~200-byte unit of nested tags + entities, id-salted so pages differ."""
+    if filler_kb <= 0:
+        return F.lit("")
+    unit = (
+        '<div class="styles_cell__x9"><span class="typography_bm">lorem ipsum '
+        "dolor sit amet consectetur&nbsp;adipiscing elit sed do</span>"
+        '<a href="/categories/x" rel="nofollow">category link</a>'
+        "<!-- --><p>12&nbsp;345 people reviewed this</p></div>"
+    )
+    reps = max(1, (filler_kb * 1024) // len(unit))
+    return F.concat(
+        F.lit('<div id="ballast-'),
+        pid.cast("string"),
+        F.lit('">'),
+        F.repeat(F.lit(unit), reps),
+        F.lit("</div>"),
+    )
 
 
 def _page_html(
@@ -196,6 +218,7 @@ def _page_html(
     skew: bool,
     reviews_per_page: int,
     links_per_page: int,
+    filler_kb: int = 0,
 ) -> Column:
     rating_block = F.when(F.pmod(pid, F.lit(97)) == 0, F.lit("")).otherwise(
         F.concat(
@@ -254,6 +277,7 @@ def _page_html(
         categories_block,
         claimed_block,
         _star_sidebar(pid),
+        _filler_block(pid, filler_kb),
         _contact_section(pid),
         F.lit('<section class="styles_reviewListContainer__r">'),
         cards,
@@ -271,6 +295,7 @@ def with_synth_page(
     skew_mega_host: bool = False,
     reviews_per_page: int = 3,
     links_per_page: int = 4,
+    filler_kb: int = 0,
 ) -> DataFrame:
     """Append ``url, warc_ts, html(binary), text, lang`` derived from an id
     column. ``n_pages`` bounds the link-target id space (defaults to a
@@ -279,7 +304,7 @@ def with_synth_page(
     pid = F.col(id_col).cast("long")
     n = F.lit(n_pages if n_pages is not None else 1_000_000).cast("long")
     html_str = _page_html(
-        pid, n, hosts, skew_mega_host, reviews_per_page, links_per_page
+        pid, n, hosts, skew_mega_host, reviews_per_page, links_per_page, filler_kb
     )
     return (
         df.withColumn("url", _url_of(pid, hosts, skew_mega_host))
@@ -304,6 +329,7 @@ def synth_pages(
     skew_mega_host: bool = True,
     reviews_per_page: int = 3,
     links_per_page: int = 4,
+    filler_kb: int = 0,
 ) -> DataFrame:
     """A fully synthetic crawl corpus of ``n_pages`` pages (PAGE_SCHEMA shape
     plus a ``page_id`` column). Generation is embarrassingly parallel."""
@@ -315,5 +341,6 @@ def synth_pages(
         skew_mega_host=skew_mega_host,
         reviews_per_page=reviews_per_page,
         links_per_page=links_per_page,
+        filler_kb=filler_kb,
     )
     return out.withColumnRenamed("id", "page_id")

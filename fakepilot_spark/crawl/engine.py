@@ -98,37 +98,21 @@ class CrawlEngine:
 
     # -- sketches -----------------------------------------------------------
 
-    def _build_bloom(self, urls: DataFrame, prev: bytes | None) -> bytes:
-        """Per-partition blooms over xxhash64(url), tree-merged."""
+    def _build_sketches(
+        self, urls: DataFrame, prev_bloom: bytes | None, prev_cuckoos: dict
+    ) -> tuple:
+        """One distributed pass builds BOTH sketches: per-key-partition cuckoo
+        filters (urls land in partition pmod(xxhash64(url), P)) plus a bloom
+        fragment per partition; fragments are tree-merged driver-side and
+        or-ed into the previous epoch's state."""
+        P = self.cfg.cuckoo_partitions
+        cap = self.cfg.cuckoo_capacity_per_partition
         proto = (
-            BloomFilter.from_bytes(prev)
-            if prev is not None
+            BloomFilter.from_bytes(prev_bloom)
+            if prev_bloom is not None
             else BloomFilter.for_capacity(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
         )
         n_bits, n_hashes = proto.n_bits, proto.n_hashes
-
-        def part_filter(rows):
-            bf = BloomFilter(n_bits, n_hashes)
-            hashes = np.fromiter((r[0] for r in rows), dtype=np.int64)
-            if hashes.size:
-                bf.add_many(hashes.view(np.uint64))
-            yield bf
-
-        rdd = urls.select(F.xxhash64("url")).rdd.mapPartitions(part_filter)
-        parts = rdd.collect() if rdd.getNumPartitions() == 1 else None
-        merged = (
-            parts[0]
-            if parts
-            else rdd.treeReduce(lambda a, b: a.merge(b))
-        )
-        return proto.merge(merged).to_bytes()
-
-    def _build_cuckoos(self, urls: DataFrame, prev: dict) -> dict:
-        """Per-key-partition cuckoo filters: urls land in partition
-        pmod(xxhash64(url), P); each partition's filter is built executor-side
-        and merged with the previous epoch's blob for the same partition."""
-        P = self.cfg.cuckoo_partitions
-        cap = self.cfg.cuckoo_capacity_per_partition
 
         hashed = urls.select(
             F.xxhash64("url").alias("h"),
@@ -137,28 +121,37 @@ class CrawlEngine:
 
         def build(pdfs):
             acc: dict = {}
+            bloom = BloomFilter(n_bits, n_hashes)
             for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                hs = pdf["h"].to_numpy().view(np.uint64)
+                bloom.add_many(hs)
                 for pid, grp in pdf.groupby("pid"):
                     cf = acc.get(pid)
                     if cf is None:
                         cf = acc[pid] = CuckooFilter.for_capacity(cap)
                     cf.add_many(grp["h"].to_numpy().view(np.uint64))
-            for pid, cf in acc.items():
-                yield pd.DataFrame({"pid": [pid], "blob": [cf.to_bytes()]})
+            rows = [(int(pid), cf.to_bytes()) for pid, cf in acc.items()]
+            rows.append((-1, bloom.to_bytes()))  # pid -1 = bloom fragment
+            yield pd.DataFrame({"pid": [r[0] for r in rows], "blob": [r[1] for r in rows]})
 
         built = hashed.mapInPandas(build, "pid int, blob binary").collect()
-        out = dict(prev)
+        bloom = proto
+        cuckoos = dict(prev_cuckoos)
         for row in built:
             pid, blob = row["pid"], bytes(row["blob"])
-            if pid in out:
-                out[pid] = (
-                    CuckooFilter.from_bytes(out[pid])
+            if pid == -1:
+                bloom.merge(BloomFilter.from_bytes(blob))
+            elif pid in cuckoos:
+                cuckoos[pid] = (
+                    CuckooFilter.from_bytes(cuckoos[pid])
                     .merge(CuckooFilter.from_bytes(blob))
                     .to_bytes()
                 )
             else:
-                out[pid] = blob
-        return out
+                cuckoos[pid] = blob
+        return bloom.to_bytes(), cuckoos
 
     def _sketch_prefilter(
         self, links: DataFrame, bloom_blob: bytes, cuckoo_blobs: dict
@@ -228,14 +221,10 @@ class CrawlEngine:
             frontier.select("url").write.mode("overwrite").parquet(
                 self._seen_path(-1)
             )
-            bloom = self._build_bloom(
-                frontier.select("url"), None
-            ) if cfg.use_sketches else None
-            cuckoos = (
-                self._build_cuckoos(frontier.select("url"), {})
-                if cfg.use_sketches
-                else {}
-            )
+            if cfg.use_sketches:
+                bloom, cuckoos = self._build_sketches(frontier.select("url"), None, {})
+            else:
+                bloom, cuckoos = None, {}
             self._write_sketches(-1, bloom, cuckoos)
             _manifest_path(self.ckpt, -1).parent.mkdir(exist_ok=True)
             _manifest_path(self.ckpt, -1).write_text(
@@ -287,8 +276,16 @@ class CrawlEngine:
         )
 
         # 1. robots + politeness admission, then the ordered global micro-batch.
-        allowed = apply_robots(pending, self._robots)
-        admitted = admit_per_host(allowed, self._politeness, cfg.default_budget)
+        # Fast paths (semantics-preserving): an empty robots dim filters
+        # nothing; a per-host budget >= global_batch can never exclude a row
+        # that survives the ordered global limit (host rank <= global rank).
+        allowed = (
+            apply_robots(pending, self._robots) if cfg.robots_rules else pending
+        )
+        if cfg.host_budgets or cfg.default_budget < cfg.global_batch:
+            admitted = admit_per_host(allowed, self._politeness, cfg.default_budget)
+        else:
+            admitted = allowed
         batch = admitted.orderBy(F.desc("score"), F.asc("url")).limit(
             cfg.global_batch
         )
@@ -300,20 +297,24 @@ class CrawlEngine:
             self.pages.select("url", "warc_ts", "html"), "url", "inner"
         )
 
-        # 3. extract (one Arrow batch per partition chunk).
+        # 3. extract (one Arrow batch per partition chunk). Explicit
+        # row-spread repartition: AQE coalesces shuffle output by *bytes*,
+        # but extraction cost is Python-CPU per row — byte-based coalescing
+        # would serialize the parse onto a few cores.
+        fetched = fetched.repartition(
+            self.spark.sparkContext.defaultParallelism * 2, "url"
+        )
         extracted = fetched.select(
             "url", "depth", "warc_ts", self._extract("html").alias("x")
         ).cache()
-        companies = extracted.select(
-            "url", F.col("x.company.*"), F.col("x.error").alias("extract_error")
-        )
-        reviews = extracted.select(
-            "url", F.posexplode_outer("x.reviews").alias("review_idx", "r")
-        ).select("url", "review_idx", "r.*")
-
         epoch_dir = lambda name: str(self.ckpt / name / f"epoch={epoch}")  # noqa: E731
-        companies.write.mode("overwrite").parquet(epoch_dir("companies"))
-        reviews.write.mode("overwrite").parquet(epoch_dir("reviews"))
+        results = extracted.select(
+            "url", "depth", "warc_ts",
+            F.col("x.company").alias("company"),
+            F.col("x.reviews").alias("reviews"),
+            F.col("x.error").alias("extract_error"),
+        )
+        results.write.mode("overwrite").parquet(epoch_dir("results"))
         fetched_n = extracted.count()
 
         # 4. lineage: per-partition fetch accounting (north rule fields).
@@ -338,7 +339,7 @@ class CrawlEngine:
         )
         seen = self._read_seen_through(epoch - 1)
         if cfg.use_sketches and bloom is not None:
-            flagged = self._sketch_prefilter(links, bloom, cuckoos)
+            flagged = self._sketch_prefilter(links, bloom, cuckoos).cache()
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             residual = (
                 flagged.filter(F.col("maybe_seen"))
@@ -361,16 +362,18 @@ class CrawlEngine:
             "host_prefix",
             "salt",
         )
+        next_frontier = next_frontier.cache()
         next_frontier.write.mode("overwrite").parquet(self._frontier_path(epoch))
-        pending_after = self.spark.read.parquet(self._frontier_path(epoch)).count()
+        pending_after = next_frontier.count()
 
         # 7. seen delta + sketches, then the manifest commit.
         new_frontier.select("url").write.mode("overwrite").parquet(
             self._seen_path(epoch)
         )
         if cfg.use_sketches:
-            bloom = self._build_bloom(new_frontier.select("url"), bloom)
-            cuckoos = self._build_cuckoos(new_frontier.select("url"), cuckoos)
+            bloom, cuckoos = self._build_sketches(
+                new_frontier.select("url"), bloom, cuckoos
+            )
         self._write_sketches(epoch, bloom, cuckoos)
 
         summary = {
@@ -386,22 +389,30 @@ class CrawlEngine:
         batch.unpersist()
         extracted.unpersist()
         new_frontier.unpersist()
+        next_frontier.unpersist()
         return summary
 
     # -- views over committed results ----------------------------------------
 
+    def results_df(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.ckpt / "results"))
+
     def companies_df(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.ckpt / "companies"))
+        r = self.results_df()
+        return r.select("url", F.col("company.*"), "extract_error")
 
     def reviews_df(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.ckpt / "reviews"))
+        r = self.results_df()
+        return r.select(
+            "url", F.posexplode_outer("reviews").alias("review_idx", "rv")
+        ).select("url", "review_idx", "rv.*")
 
     def fetched_urls_in_order(self) -> list:
         """Crawl order: (epoch asc, score desc, url asc) — the deterministic
         total order the oracle must match."""
         out = []
         for epoch in range(self.last_committed_epoch() + 1):
-            path = self.ckpt / "companies" / f"epoch={epoch}"
+            path = self.ckpt / "results" / f"epoch={epoch}"
             if not path.exists():
                 continue
             rows = (

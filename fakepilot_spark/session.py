@@ -77,6 +77,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.ui.enabled", "false")
+        # Micro-batch epochs issue many small jobs: never idle a core waiting
+        # for data locality that local/HDFS-cached inputs already have.
+        .config("spark.locality.wait", "0s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     # Only force a master when not running under spark-submit on a cluster.
