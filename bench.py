@@ -84,11 +84,23 @@ def crawl_bench(spark, sf: float) -> dict:
     from fakepilot_spark.corpus import synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
 
-    n_pages = max(2_000, int(200_000 * sf))
+    n_pages = max(2_000, int(280_000 * sf))
     pages = synth_pages(
-        spark, n_pages, partitions=CPUS * 2, hosts=101,
+        spark, n_pages, partitions=CPUS * 6, hosts=101,
         skew_mega_host=True, reviews_per_page=25, links_per_page=4,
         filler_kb=250,
+    )
+
+    # steady-state warmup: spin up the Python workers + compile codegen
+    # before the timed region (cold-start is identical at any cluster size
+    # and would otherwise pollute the scaling ratio).
+    from fakepilot_spark.extract.udfs import make_page_extractor
+
+    warm = make_page_extractor(nreviews=1, with_reviews=False, strict=False)
+    (
+        synth_pages(spark, CPUS * 8, partitions=CPUS * 2)
+        .select(warm("html").alias("x"))
+        .write.format("noop").mode("overwrite").save()
     )
 
     seeds = [

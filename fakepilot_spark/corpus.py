@@ -36,7 +36,7 @@ review content      '' if (id+i)%7==0 else 'Review body {id} part {i}'
 review nreviews     1 + (id+i)%30
 review country      ['US','FR','ES','NO','DK'][(id+i)%5]
 review date_exp     ts'2025-01-01' + ((id+i)%365) days
-link k              url of page ((id + 1 + k*977) * 40503) % n_pages
+link k              url of page ((id + 1 + k*977) * 48271) % n_pages
 ==================  =========================================================
 """
 
@@ -180,7 +180,7 @@ def _links_footer(pid: Column, links_per_page: int, n_pages: Column, hosts: int,
             F.sequence(F.lit(0), F.lit(links_per_page - 1)),
             lambda k: F.concat(
                 F.lit('<a href="'),
-                _url_of(F.pmod((pid + 1 + k * 977) * 40503, n_pages), hosts, skew),
+                _url_of(F.pmod((pid + 1 + k * 977) * 48271, n_pages), hosts, skew),
                 F.lit('">more</a>'),
             ),
         ),
@@ -344,3 +344,74 @@ def synth_pages(
         filler_kb=filler_kb,
     )
     return out.withColumnRenamed("id", "page_id")
+
+
+# -- search-result pages (self-defined surface, SURVEY.md §2.3) --------------
+#
+# Search page q lists CARDS result cards; card j points at company
+# c = (q*53 + j*17) % universe and reuses the company-page value rules:
+#   name 'Company {c}', href '/review/c{c}', score (10 + c%40)/10,
+#   nreviews 1000 + c%9000 (comma-separated in markup when c is even),
+#   location 'City {c%50}', category 'Category {c%7}'.
+
+
+def _search_card(qid: Column, j: Column, universe: Column) -> Column:
+    c = F.pmod(qid * 53 + j * 17, universe)
+    nrev = 1000 + F.pmod(c, F.lit(9000))
+    nrev_plain = nrev.cast("string")
+    nrev_sep = F.concat(
+        ((nrev - F.pmod(nrev, F.lit(1000))) / 1000).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad(F.pmod(nrev, F.lit(1000)).cast("string"), 3, "0"),
+    )
+    score10 = 10 + F.pmod(c, F.lit(40))
+    score_str = F.concat(
+        ((score10 - F.pmod(score10, F.lit(10))) / 10).cast("long").cast("string"),
+        F.lit("."),
+        F.pmod(score10, F.lit(10)).cast("string"),
+    )
+    return F.concat(
+        F.lit('<div data-search-result-card="true">'),
+        F.lit('<p data-search-result-name-typography="true">Company '),
+        c.cast("string"),
+        F.lit('<!-- --> </p><a data-search-result-link="true" href="/review/c'),
+        c.cast("string"),
+        F.lit('">visit</a><span data-search-result-score-typography="true">'),
+        score_str,
+        F.lit('</span><span data-search-result-reviews-count="'),
+        F.when(F.pmod(c, F.lit(2)) == 0, nrev_sep).otherwise(nrev_plain),
+        F.lit('">reviews</span><span data-search-result-location-typography="true">City '),
+        F.pmod(c, F.lit(50)).cast("string"),
+        F.lit('</span><span data-search-result-category-typography="true">Category '),
+        F.pmod(c, F.lit(7)).cast("string"),
+        F.lit("</span></div>"),
+    )
+
+
+def with_synth_search_page(
+    df: DataFrame, id_col: str = "id", cards_per_page: int = 8, universe: int = 100_000
+) -> DataFrame:
+    """Append ``url`` + ``html`` (binary) search-result pages derived from an
+    id column; card values follow the module-level rules (oracle-checkable)."""
+    qid = F.col(id_col).cast("long")
+    uni = F.lit(universe).cast("long")
+    cards = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(cards_per_page - 1)),
+            lambda j: _search_card(qid, j, uni),
+        ),
+        "",
+    )
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><body><h1>Search results</h1>"),
+        F.lit('<section class="styles_searchResultsList__q1">'),
+        cards,
+        F.lit("</section><footer>"),
+        # decoy card OUTSIDE the container: list scoping must exclude it
+        _search_card(qid, F.lit(99), uni),
+        F.lit("</footer></body></html>"),
+    )
+    return df.withColumn(
+        "url",
+        F.concat(F.lit("https://www.trustpilot.com/search?query=q"), qid.cast("string")),
+    ).withColumn("html", F.encode(html_str, "utf-8"))

@@ -292,18 +292,19 @@ class CrawlEngine:
         batch = batch.cache()
         batch_n = batch.count()
 
-        # 2. fetch = join against the pages corpus (AQE handles skew).
-        fetched = batch.select("url", "depth").join(
+        # 2. fetch = join against the pages corpus. The batch (urls only) is
+        # BROADCAST so the fat ``html`` column never shuffles — the corpus
+        # side streams through scan → hash-probe → extract in one stage.
+        # At 10^10 scale a multi-million-URL batch is still only a few
+        # hundred MB of urls vs petabytes of pages; if the batch ever
+        # outgrows broadcast, the fallback is a bucket-co-located join,
+        # never an html shuffle.
+        fetched = F.broadcast(batch.select("url", "depth")).join(
             self.pages.select("url", "warc_ts", "html"), "url", "inner"
         )
 
-        # 3. extract (one Arrow batch per partition chunk). Explicit
-        # row-spread repartition: AQE coalesces shuffle output by *bytes*,
-        # but extraction cost is Python-CPU per row — byte-based coalescing
-        # would serialize the parse onto a few cores.
-        fetched = fetched.repartition(
-            self.spark.sparkContext.defaultParallelism * 2, "url"
-        )
+        # 3. extract (one Arrow batch per partition chunk), running on the
+        # corpus scan partitions — no repartition of page bytes.
         extracted = fetched.select(
             "url", "depth", "warc_ts", self._extract("html").alias("x")
         ).cache()

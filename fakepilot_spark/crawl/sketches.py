@@ -137,6 +137,16 @@ class CuckooFilter:
             i2 = int(self._alt(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
             # One stored copy per insert — duplicates are kept, which is what
             # makes deletion safe (Fan et al. §3.2: delete removes one copy).
+            # Exception (also per the paper): once BOTH candidate buckets are
+            # full and already hold this fingerprint (2b copies), further
+            # copies are dropped rather than evicting live entries.
+            if (
+                0 not in self.table[i1]
+                and 0 not in self.table[i2]
+                and (fp in self.table[i1] or fp in self.table[i2])
+            ):
+                self.n_items += 1
+                continue
             if self._insert_one(i1, fp) or self._insert_one(i2, fp):
                 self.n_items += 1
                 continue
@@ -191,6 +201,13 @@ class CuckooFilter:
             fp = int(other.table[i, slot])
             i1 = int(i)
             i2 = int(self._alt(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+            if (
+                0 not in self.table[i1]
+                and 0 not in self.table[i2]
+                and (fp in self.table[i1] or fp in self.table[i2])
+            ):
+                self.n_items += 1
+                continue
             if self._insert_one(i1, fp) or self._insert_one(i2, fp):
                 self.n_items += 1
                 continue

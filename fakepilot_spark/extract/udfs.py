@@ -74,3 +74,36 @@ def make_page_extractor(
         return _extract_batch(html, nreviews, with_reviews, with_links, strict)
 
     return extract
+
+
+def make_search_extractor(limit: int | None = None):
+    """pandas UDF ``html:binary -> array<struct>`` of search-result cards."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .search import search_card_records
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("name", StringType(), True),
+                StructField("company_url", StringType(), True),
+                StructField("score", DoubleType(), True),
+                StructField("nreviews", IntegerType(), True),
+                StructField("location", StringType(), True),
+                StructField("category", StringType(), True),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def extract_cards(html: pd.Series) -> pd.Series:
+        return html.map(lambda blob: search_card_records(blob, limit=limit))
+
+    return extract_cards

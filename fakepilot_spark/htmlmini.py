@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
-__all__ = ["Tag", "StrNode", "parse", "TEXT", "COMMENT", "RAWTEXT", "DECL"]
+__all__ = ["Tag", "StrNode", "parse", "parse_fast", "parse_stdlib", "TEXT", "COMMENT", "RAWTEXT", "DECL"]
 
 TEXT = 0  # a plain text node (bs4 NavigableString)
 COMMENT = 1  # <!-- ... -->
@@ -319,14 +319,10 @@ class _TreeBuilder(HTMLParser):
         return self.root
 
 
-def parse(markup) -> Tag:
-    """Parse HTML (str or utf-8 bytes) into a document ``Tag``.
-
-    Bytes are decoded as utf-8 **with universal-newline translation**
-    (``\r\n``/``\r`` → ``\n``): the reference contract is a *text-mode* file
-    object (``/root/reference/tests/test_xray.py:77``), so byte-identical
-    extraction from a binary ``html`` column requires the same translation.
-    """
+def parse_stdlib(markup) -> Tag:
+    """Parse via the stdlib ``html.parser`` event backend (reference
+    implementation; the fast tokenizer below is differential-tested against
+    it on every fixture page)."""
     if isinstance(markup, (bytes, bytearray, memoryview)):
         markup = bytes(markup).decode("utf-8", errors="replace")
         if "\r" in markup:
@@ -334,3 +330,273 @@ def parse(markup) -> Tag:
     builder = _TreeBuilder()
     builder.feed(markup)
     return builder.finish()
+
+
+def parse(markup) -> Tag:
+    """Parse HTML (str or utf-8 bytes) into a document ``Tag``.
+
+    Bytes are decoded as utf-8 **with universal-newline translation**
+    (``\r\n``/``\r`` → ``\n``): the reference contract is a *text-mode* file
+    object (``/root/reference/tests/test_xray.py:77``), so byte-identical
+    extraction from a binary ``html`` column requires the same translation.
+
+    Uses the fast tokenizer backend (~2x the stdlib event parser); set
+    ``FAKEPILOT_PARSER=stdlib`` to force the reference backend.
+    """
+    import os as _os
+
+    if _os.environ.get("FAKEPILOT_PARSER") == "stdlib":
+        return parse_stdlib(markup)
+    return parse_fast(markup)
+
+
+# -- fast tokenizer backend ---------------------------------------------------
+#
+# A tight scan loop over the whole document that reuses CPython html.parser's
+# own tolerant regexes (tagfind_tolerant / attrfind_tolerant / endtagfind), so
+# tag and attribute parsing semantics are identical to the stdlib builder —
+# without the feed-buffer machinery, position tracking, and per-event method
+# dispatch. tests/test_htmlmini.py includes a differential check that both
+# backends produce identical DOMs on every real fixture page.
+
+import re as _re
+from html import unescape as _unescape
+from html.parser import (
+    attrfind_tolerant as _attrfind,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
+
+_CHARREF_HINT = "&"
+
+
+def _decode_text(segment: str) -> str:
+    if _CHARREF_HINT in segment:
+        return _unescape(segment)
+    return segment
+
+
+# Well-formed start tags take this single-regex fast lane; anything it does
+# not match falls back to the stdlib-regex path below (identical semantics).
+_FAST_START = _re.compile(
+    r"<([a-zA-Z][-.:0-9_a-zA-Z]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+
+_MARKED_CLOSE = _re.compile(r"]\s*]\s*>")  # stdlib _markupbase marked-section close
+
+# SSR markup repeats identical attribute blobs (class strings) thousands of
+# times per page — memoize blob → attrs dict. Tags share the cached dict;
+# attrs are never mutated after construction.
+_ATTR_BLOB_CACHE: dict = {}
+
+
+def _parse_attr_blob(blob: str) -> dict:
+    cached = _ATTR_BLOB_CACHE.get(blob)
+    if cached is not None:
+        return cached
+    d: dict = {}
+    k = len(blob) - len(blob.lstrip())
+    end = len(blob)
+    while k < end:
+        m = _attrfind.match(blob, k)
+        if not m:
+            break
+        attrname, rest, attrvalue = m.group(1, 2, 3)
+        if not rest:
+            attrvalue = ""
+        else:
+            if attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                attrvalue = attrvalue[1:-1]
+            if attrvalue and _CHARREF_HINT in attrvalue:
+                attrvalue = _unescape(attrvalue)
+        key = attrname.lower()
+        if key not in d:
+            d[key] = attrvalue
+        k = m.end()
+    if len(_ATTR_BLOB_CACHE) > 100_000:
+        _ATTR_BLOB_CACHE.clear()
+    _ATTR_BLOB_CACHE[blob] = d
+    return d
+
+
+def parse_fast(markup) -> Tag:
+    """Fast-path parse; same DOM as :func:`parse` (stdlib backend)."""
+    if isinstance(markup, (bytes, bytearray, memoryview)):
+        markup = bytes(markup).decode("utf-8", errors="replace")
+        if "\r" in markup:
+            markup = markup.replace("\r\n", "\n").replace("\r", "\n")
+    s = markup
+    n = len(s)
+    flat: list = []
+    root = Tag("[document]", {}, flat)
+    flat.append(root)
+    stack = [root]
+    low = None  # lazily lowercased copy for raw-text end scans
+    find = s.find
+    startswith = s.startswith
+
+    def emit_text(segment: str, kind: int = TEXT) -> None:
+        parent = stack[-1]
+        contents = parent.contents
+        if contents:
+            last = contents[-1]
+            if type(last) is StrNode and last.kind == kind:
+                last.text += segment
+                return
+        node = StrNode(segment, kind)
+        flat.append(node)
+        contents.append(node)
+
+    def emit_str(segment: str, kind: int) -> None:
+        node = StrNode(segment, kind)
+        flat.append(node)
+        stack[-1].contents.append(node)
+
+    def close_tag(name: str) -> None:
+        if name in _VOID:
+            return
+        for idx in range(len(stack) - 1, 0, -1):
+            if stack[idx].name == name:
+                close_at = len(flat)
+                for node in stack[idx:]:
+                    node.end = close_at
+                del stack[idx:]
+                return
+
+    i = 0
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            emit_text(_decode_text(s[i:n]))
+            break
+        if lt > i:
+            emit_text(_decode_text(s[i:lt]))
+        i = lt
+        nxt = s[lt + 1 : lt + 2]
+        if nxt and (nxt.isalpha() or nxt == "_"):  # start tag
+            fm = _FAST_START.match(s, lt)
+            if fm:
+                name = fm.group(1).lower()
+                blob = fm.group(2)
+                attrs = _parse_attr_blob(blob) if blob else {}
+                selfclosing = fm.group(3) == "/"
+                close = fm.end()
+            else:
+                # tolerant fallback: exact stdlib-regex semantics
+                m = _locatestart.match(s, lt)
+                if not m:
+                    emit_text(_decode_text(s[lt:n]))
+                    break
+                endpos = m.end()
+                if startswith("/>", endpos):
+                    close = endpos + 2
+                    selfclosing = True
+                elif startswith(">", endpos):
+                    close = endpos + 1
+                    selfclosing = False
+                else:
+                    # unterminated at EOF → stdlib emits the remainder as data
+                    emit_text(_decode_text(s[lt:n]))
+                    break
+                tm = _tagfind.match(s, lt + 1)
+                name = tm.group(1).lower()
+                k = tm.end()
+                attrs = {}
+                while k < endpos:
+                    am = _attrfind.match(s, k)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = ""
+                    else:
+                        if attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                            attrvalue = attrvalue[1:-1]
+                        if attrvalue and _CHARREF_HINT in attrvalue:
+                            attrvalue = _unescape(attrvalue)
+                    key = attrname.lower()
+                    if key not in attrs:
+                        attrs[key] = attrvalue
+                    k = am.end()
+            node = Tag(name, attrs, flat)
+            node.pos = len(flat)
+            flat.append(node)
+            stack[-1].contents.append(node)
+            if selfclosing or name in _VOID:
+                node.end = node.pos + 1
+            else:
+                stack.append(node)
+                if name in ("script", "style"):
+                    # CDATA content mode (html.parser CDATA_CONTENT_ELEMENTS)
+                    if low is None:
+                        low = s.lower()
+                    endm = low.find("</" + name, close)
+                    if endm < 0:
+                        if close < n:
+                            emit_str(s[close:n], RAWTEXT)
+                        close = n
+                    else:
+                        if endm > close:
+                            emit_str(s[close:endm], RAWTEXT)
+                        close = endm
+            i = close
+        elif nxt == "/":  # end tag
+            m = _endtagfind.match(s, lt)
+            if m:
+                close_tag(m.group(1).lower())
+                i = m.end()
+            else:
+                gt = find(">", lt)
+                if gt < 0:
+                    emit_text(_decode_text(s[lt:n]))
+                    break
+                # tolerant: '</ tag junk>' → use tagfind on lt+2
+                tm = _tagfind.match(s, lt + 2)
+                if tm:
+                    close_tag(tm.group(1).lower())
+                i = gt + 1
+        elif nxt == "!":
+            if startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end < 0:
+                    emit_str(s[lt + 4 : n], COMMENT)
+                    break
+                emit_str(s[lt + 4 : end], COMMENT)
+                i = end + 3
+            elif startswith("<![", lt):
+                mm = _MARKED_CLOSE.search(s, lt + 3)
+                if not mm:
+                    emit_str(s[lt + 3 : n], DECL)
+                    break
+                emit_str(s[lt + 3 : mm.start()], DECL)
+                i = mm.end()
+            else:
+                gt = find(">", lt)
+                if gt < 0:
+                    emit_str(s[lt + 2 : n], DECL)
+                    break
+                body = s[lt + 2 : gt]
+                if body[:7].lower() == "doctype":
+                    emit_str(body, DECL)
+                else:
+                    # stdlib routes bogus declarations to handle_comment
+                    emit_str(body, COMMENT)
+                i = gt + 1
+        elif nxt == "?":
+            gt = find(">", lt)
+            if gt < 0:
+                emit_str(s[lt + 2 : n], DECL)
+                break
+            emit_str(s[lt + 2 : gt], DECL)
+            i = gt + 1
+        else:
+            emit_text("<")
+            i = lt + 1
+
+    close_at = len(flat)
+    for node in stack:
+        node.end = close_at
+    return root

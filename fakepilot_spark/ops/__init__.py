@@ -17,11 +17,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def registry():
     """Merged (queries, oracles) across all ops modules."""
-    from . import crawlops, extraction, relational, similarity, textops
+    from . import crawlops, extraction, multimodal, relational, similarity, textops
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (relational, textops, similarity, crawlops, extraction):
+    for mod in (relational, textops, similarity, crawlops, extraction, multimodal):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles

@@ -156,3 +156,56 @@ ORACLES = {
     # extract_fixture_*: real-page extraction is not SQL-expressible →
     # rows-only check here; full value gate in tests/test_spark_extraction.py.
 }
+
+
+# --------------------------------------------------------------------------
+# Q: search-result card extraction over synthetic search pages — the
+# north-star "company search-result cards" surface (SURVEY.md §2.3), value-
+# checked arithmetically by the oracle.
+# --------------------------------------------------------------------------
+
+_CARDS = 8
+_UNIVERSE = 100_000
+
+
+def q_extract_search_cards(spark, sf):
+    from ..corpus import with_synth_search_page
+    from ..extract.udfs import make_search_extractor
+
+    docs = load(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    pages = with_synth_search_page(docs, cards_per_page=_CARDS, universe=_UNIVERSE)
+    extract = make_search_extractor()
+    out = pages.select(F.col("id").alias("query_id"), extract("html").alias("cards"))
+    return out.select(
+        "query_id", F.posexplode("cards").alias("card_idx", "c")
+    ).select(
+        "query_id",
+        "card_idx",
+        F.col("c.name").alias("name"),
+        F.col("c.company_url").alias("company_url"),
+        F.col("c.score").alias("score"),
+        F.col("c.nreviews").alias("nreviews"),
+        F.col("c.location").alias("location"),
+        F.col("c.category").alias("category"),
+    )
+
+
+_SQL_SEARCH_CARDS = f"""
+WITH cards AS (
+  SELECT doc_id AS query_id,
+         CAST(j AS INT) AS card_idx,
+         (doc_id * 53 + j * 17) % {_UNIVERSE} AS c
+  FROM documents, range({_CARDS}) t(j)
+)
+SELECT query_id, card_idx,
+       'Company ' || c AS name,
+       '/review/c' || c AS company_url,
+       (10 + c % 40) / 10.0 AS score,
+       CAST(1000 + c % 9000 AS INT) AS nreviews,
+       'City ' || (c % 50) AS location,
+       'Category ' || (c % 7) AS category
+FROM cards
+"""
+
+QUERIES["extract_search_cards"] = q_extract_search_cards
+ORACLES["extract_search_cards"] = _SQL_SEARCH_CARDS

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decoding libraries are not installed in this container
+(task contract: STUB the decode behind a deterministic fake / clear
+``NotImplementedError``, make the Spark-side plumbing real). Everything
+around the decode IS real and tested: binary columns, typed metadata
+structs, ``mapInPandas`` batch shape, and partitioning.
+
+At 100 TB the pattern is: payloads stay in the table as ``binary`` (or
+pointers), decode/feature-extract runs Arrow-batched with bounded
+``maxRecordsPerBatch``, and features come back as fixed-width arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from . import load
+
+_REAL_DECODERS = False
+try:  # pragma: no cover - libs absent in this container by contract
+    import PIL.Image  # noqa: F401
+
+    _REAL_DECODERS = True
+except ImportError:
+    pass
+
+
+def _fake_decode_features(payload: bytes, n_features: int = 8) -> list:
+    """Deterministic stand-in for decode + feature extraction.
+
+    Folds payload bytes into ``n_features`` float accumulators — stable,
+    content-sensitive, and library-free. A real deployment swaps this single
+    function for PIL/torchaudio/ffmpeg and nothing else changes.
+    """
+    if _REAL_DECODERS:  # pragma: no cover
+        raise NotImplementedError("wire real decoders here")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-len(arr)) % n_features
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    folded = arr.reshape(-1, n_features).sum(axis=0, dtype=np.float64)
+    total = float(folded.sum()) or 1.0
+    return [round(float(x) / total, 6) for x in folded]
+
+
+def media_items(spark, sf) -> DataFrame:
+    """documents.text re-typed as an opaque binary payload with metadata —
+    the multimodal table shape (payload binary, modality, n_bytes)."""
+    docs = load(spark, sf, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.length(payload).alias("n_bytes"),
+    )
+
+
+def q_media_features(spark, sf) -> DataFrame:
+    """Batch decode + feature extraction via mapInPandas (Arrow-bounded)."""
+    items = media_items(spark, sf)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(bytes(p)) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return items.mapInPandas(
+        decode,
+        "item_id long, modality string, n_bytes long, features array<double>",
+    )
+
+
+def q_media_feature_profile(spark, sf) -> DataFrame:
+    """Aggregated view used by the driver check: per-modality feature norms
+    (scalar projections keep the oracle comparable)."""
+    feats = q_media_features(spark, sf)
+    f0 = F.element_at("features", 1)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(f0.cast("decimal(18,6)")), 4).cast("double").alias("sum_f0"),
+    )
+
+
+QUERIES = {"media_feature_profile": q_media_feature_profile}
+ORACLES: dict = {}  # decode features are non-SQL-expressible → rows-only

@@ -28,6 +28,7 @@ def test_registry_consistent():
         "embedding_near_dup_pairs",
         "extract_fixture_companies",
         "extract_fixture_reviews",
+        "media_feature_profile",
     }
 
 

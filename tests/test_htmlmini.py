@@ -111,3 +111,58 @@ def test_duplicate_attr_first_wins():
 def test_bytes_input():
     dom = parse("<p>café</p>".encode("utf-8"))
     assert dom.find("p").string == "café"
+
+
+def _dom_sig(root):
+    from fakepilot_spark.htmlmini import StrNode, Tag
+
+    out, stack = [], [root]
+    while stack:
+        node = stack.pop()
+        if type(node) is Tag:
+            out.append(("T", node.name, tuple(sorted(node.attrs.items())), len(node.contents)))
+            stack.extend(reversed(node.contents))
+        else:
+            out.append(("S", node.kind, node.text))
+    return out
+
+
+def test_fast_and_stdlib_backends_agree_on_fixtures():
+    """Differential gate: the fast tokenizer must produce the exact same DOM
+    as the stdlib event backend on every real fixture page."""
+    import zipfile
+    from pathlib import Path
+
+    from fakepilot_spark.htmlmini import parse_fast, parse_stdlib
+
+    zip_path = Path(__file__).parent / "data" / "text_files.zip"
+    with zipfile.ZipFile(zip_path) as zf:
+        for name in zf.namelist():
+            blob = zf.read(name)
+            assert _dom_sig(parse_stdlib(blob)) == _dom_sig(parse_fast(blob)), name
+
+
+def test_fast_backend_edge_cases():
+    from fakepilot_spark.htmlmini import parse_fast, parse_stdlib
+
+    cases = [
+        "<p>a &lt; b &amp;&nbsp;c</p>",
+        "<div class='a  b' data-x>text</div>",
+        "<script>if (a<b && c>d) {}</script><p>after</p>",
+        "<style>.x{content:'</'}</style>ok",
+        "plain < text > stays",
+        "<p>1<br/>2<br>3</p>",
+        '<a href="/u?a=1&amp;b=2">x</a>',
+        "<!DOCTYPE html><!-- c --><p>x</p>",
+        "<p>unclosed <span attr='v",
+        "<div foo='a>b'>quoted gt</div>",
+        "<ul><li>a</li ><li>b</li></ul>",
+        "<P CLASS='Upper'>case</P>",
+        "<input value='v' checked><p>next</p>",
+        "<?pi data?><p>x</p>",
+        "<![CDATA[raw]]><p>x</p>",
+        "<p>text &#65; &#x42; done</p>",
+        "<div id='a' id='b'>dup</div>",
+    ]
+    for markup in cases:
+        assert _dom_sig(parse_stdlib(markup)) == _dom_sig(parse_fast(markup)), markup
