@@ -84,7 +84,9 @@ def crawl_bench(spark, sf: float) -> dict:
     from fakepilot_spark.corpus import synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
 
-    n_pages = max(2_000, int(280_000 * sf))
+    n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "0")) or max(
+        2_000, int(280_000 * sf)
+    )
     pages = synth_pages(
         spark, n_pages, partitions=CPUS * 6, hosts=101,
         skew_mega_host=True, reviews_per_page=25, links_per_page=4,
@@ -135,6 +137,7 @@ def crawl_bench(spark, sf: float) -> dict:
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     from fakepilot_spark.ops import registry
     from fakepilot_spark.session import get_spark
 

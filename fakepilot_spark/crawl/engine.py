@@ -268,6 +268,15 @@ class CrawlEngine:
     def _run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
+        steps: dict = {}
+        _t = time.time
+
+        def _lap(name: str, since: float) -> float:
+            now = _t()
+            steps[name] = round(now - since, 3)
+            return now
+
+        t_step = t0
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(epoch - 1)
         )
@@ -291,6 +300,7 @@ class CrawlEngine:
         )
         batch = batch.cache()
         batch_n = batch.count()
+        t_step = _lap("drain", t_step)
 
         # 2. fetch = join against the pages corpus. The batch (urls only) is
         # BROADCAST so the fat ``html`` column never shuffles — the corpus
@@ -317,6 +327,7 @@ class CrawlEngine:
         )
         results.write.mode("overwrite").parquet(epoch_dir("results"))
         fetched_n = extracted.count()
+        t_step = _lap("fetch_extract_write", t_step)
 
         # 4. lineage: per-partition fetch accounting (north rule fields).
         lineage = (
@@ -326,6 +337,7 @@ class CrawlEngine:
             .withColumn("fetch_ts", F.current_timestamp())
         )
         lineage.write.mode("overwrite").parquet(epoch_dir("lineage"))
+        t_step = _lap("lineage", t_step)
 
         # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
         #    exact residual anti-join against the full seen set.
@@ -354,6 +366,7 @@ class CrawlEngine:
             new_urls, F.col("depth"), epoch + 1
         ).cache()
         new_n = new_frontier.count()
+        t_step = _lap("expand", t_step)
 
         # 6. next frontier snapshot: survivors (pending minus this batch) +
         #    the newly discovered URLs; laid out by (host_prefix, salt).
@@ -366,6 +379,7 @@ class CrawlEngine:
         next_frontier = next_frontier.cache()
         next_frontier.write.mode("overwrite").parquet(self._frontier_path(epoch))
         pending_after = next_frontier.count()
+        t_step = _lap("frontier_commit", t_step)
 
         # 7. seen delta + sketches, then the manifest commit.
         new_frontier.select("url").write.mode("overwrite").parquet(
@@ -376,6 +390,7 @@ class CrawlEngine:
                 new_frontier.select("url"), bloom, cuckoos
             )
         self._write_sketches(epoch, bloom, cuckoos)
+        t_step = _lap("seen_sketches", t_step)
 
         summary = {
             "epoch": epoch,
@@ -385,6 +400,7 @@ class CrawlEngine:
             "new_urls": new_n,
             "pending_after": pending_after,
             "wall_sec": round(time.time() - t0, 3),
+            "steps": steps,
         }
         _manifest_path(self.ckpt, epoch).write_text(json.dumps(summary))
         batch.unpersist()

@@ -27,6 +27,13 @@ __all__ = ["make_page_extractor"]
 
 
 def _extract_batch(html: pd.Series, nreviews, with_reviews, with_links, strict):
+    import gc
+
+    # The DOM is acyclic (no parent pointers) → refcounting reclaims
+    # everything; generational GC only adds cache-thrashing scans over
+    # millions of short-lived nodes. Disable it for the batch.
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
     companies, reviews, links, errors = [], [], [], []
     for blob in html:
         company = review_list = link_list = error = None
@@ -48,6 +55,8 @@ def _extract_batch(html: pd.Series, nreviews, with_reviews, with_links, strict):
         reviews.append(review_list)
         links.append(link_list)
         errors.append(error)
+    if gc_was_enabled:
+        gc.enable()
     return pd.DataFrame(
         {"company": companies, "reviews": reviews, "links": links, "error": errors}
     )

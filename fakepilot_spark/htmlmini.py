@@ -370,8 +370,24 @@ from html.parser import (
 
 _CHARREF_HINT = "&"
 
+# SSR markup repeats short text runs (and their entity decodings) thousands
+# of times per page and across pages; memoizing both dedups the unescape work
+# AND shares one str object per distinct segment — less allocation churn is
+# what keeps 32 parallel parser workers off the memory-bandwidth wall.
+_TEXT_CACHE: dict = {}
+_TEXT_CACHE_MAX_LEN = 512
+
 
 def _decode_text(segment: str) -> str:
+    if len(segment) <= _TEXT_CACHE_MAX_LEN:
+        cached = _TEXT_CACHE.get(segment)
+        if cached is not None:
+            return cached
+        out = _unescape(segment) if _CHARREF_HINT in segment else segment
+        if len(_TEXT_CACHE) > 100_000:
+            _TEXT_CACHE.clear()
+        _TEXT_CACHE[segment] = out
+        return out
     if _CHARREF_HINT in segment:
         return _unescape(segment)
     return segment
