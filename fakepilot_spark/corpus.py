@@ -346,6 +346,37 @@ def synth_pages(
     return out.withColumnRenamed("id", "page_id")
 
 
+def materialize_corpus(
+    spark,
+    path: str,
+    n_pages: int,
+    files: int = 192,
+    **page_kwargs,
+) -> DataFrame:
+    """Write the synthetic corpus ONCE as a committed Parquet pages table and
+    return a reader over it.
+
+    This is the faithful sandbox analogue of the north rule's Iceberg pages
+    table (``BASELINE.json:15``): the crawl's fetch join scans committed
+    columnar files (column pruning + page-cache-warm re-reads) instead of
+    re-generating rows JVM-side on every scan, so the timed crawl measures
+    scan → join → extract, not string synthesis. Generation is deterministic
+    in ``n_pages`` + ``page_kwargs``; an existing committed table (\\_SUCCESS
+    present) is reused as-is.
+    """
+    from pathlib import Path as _P
+
+    p = _P(path)
+    if not (p / "_SUCCESS").exists():
+        # uncompressed: the id-salted ballast would otherwise snappy-compress
+        # ~300:1, which no real WARC corpus does — stored plain, the scan
+        # volume (and the input-split math below) reflects real page bytes.
+        synth_pages(spark, n_pages, partitions=files, **page_kwargs).write.mode(
+            "overwrite"
+        ).option("compression", "none").parquet(str(p))
+    return spark.read.parquet(str(p))
+
+
 # -- search-result pages (self-defined surface, SURVEY.md §2.3) --------------
 #
 # Search page q lists CARDS result cards; card j points at company

@@ -88,13 +88,18 @@ class CrawlEngine:
     def _frontier_path(self, epoch: int) -> str:
         return str(self.ckpt / "frontier" / f"epoch={epoch}")
 
-    def _seen_path(self, epoch: int) -> str:
-        return str(self.ckpt / "seen" / f"epoch={epoch}")
+    def _delta_path(self, epoch: int) -> str:
+        """Newly-enqueued URLs of one epoch (epoch -1 = the seed list).
+
+        The union of deltas through epoch N IS the URL-seen set after N —
+        one table serves both the frontier expansion and the seen-set reads
+        (column-pruned to ``url`` by the parquet scan).
+        """
+        return str(self.ckpt / "new" / f"epoch={epoch}")
 
     def _read_seen_through(self, epoch: int) -> DataFrame:
-        # epoch -1 holds the seed delta; deltas are append-only per epoch.
-        paths = [self._seen_path(e) for e in range(-1, epoch + 1)]
-        return self.spark.read.schema("url string").parquet(*paths)
+        paths = [self._delta_path(e) for e in range(-1, epoch + 1)]
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(*paths).select("url")
 
     # -- sketches -----------------------------------------------------------
 
@@ -217,10 +222,8 @@ class CrawlEngine:
             from .frontier import seeds_frontier
 
             frontier = seeds_frontier(self.spark, cfg.seeds)
-            frontier.write.mode("overwrite").parquet(self._frontier_path(-1) )
-            frontier.select("url").write.mode("overwrite").parquet(
-                self._seen_path(-1)
-            )
+            frontier.write.mode("overwrite").parquet(self._frontier_path(-1))
+            frontier.write.mode("overwrite").parquet(self._delta_path(-1))
             if cfg.use_sketches:
                 bloom, cuckoos = self._build_sketches(frontier.select("url"), None, {})
             else:
@@ -313,25 +316,39 @@ class CrawlEngine:
             self.pages.select("url", "warc_ts", "html"), "url", "inner"
         )
 
-        # 3. extract (one Arrow batch per partition chunk), running on the
-        # corpus scan partitions — no repartition of page bytes.
+        # 3. extract (one Arrow batch per partition chunk) on the corpus scan
+        # partitions — no repartition of page bytes. Extraction runs exactly
+        # ONCE: the flattened results (links included) commit to the epoch's
+        # results table in the same job, counts ride along as an observed
+        # metric, and every downstream step re-reads the committed, column-
+        # pruned parquet instead of re-evaluating (or caching) the UDF plan.
+        from pyspark.sql import Observation
+
         extracted = fetched.select(
             "url", "depth", "warc_ts", self._extract("html").alias("x")
-        ).cache()
+        )
         epoch_dir = lambda name: str(self.ckpt / name / f"epoch={epoch}")  # noqa: E731
-        results = extracted.select(
-            "url", "depth", "warc_ts",
-            F.col("x.company").alias("company"),
-            F.col("x.reviews").alias("reviews"),
-            F.col("x.error").alias("extract_error"),
+        obs = Observation(f"results_{epoch}")
+        results = (
+            extracted.select(
+                "url", "depth", "warc_ts",
+                F.col("x.company").alias("company"),
+                F.col("x.reviews").alias("reviews"),
+                F.col("x.links").alias("links"),
+                F.col("x.error").alias("extract_error"),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(max(self.spark.sparkContext.defaultParallelism, 4))
         )
         results.write.mode("overwrite").parquet(epoch_dir("results"))
-        fetched_n = extracted.count()
+        fetched_n = int(obs.get["n"])
+        res = self.spark.read.parquet(epoch_dir("results"))
         t_step = _lap("fetch_extract_write", t_step)
 
-        # 4. lineage: per-partition fetch accounting (north rule fields).
+        # 4. lineage: per-partition fetch accounting (north rule fields),
+        # derived from the committed results files.
         lineage = (
-            extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+            res.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("urls_fetched"))
             .withColumn("frontier_epoch", F.lit(epoch))
             .withColumn("fetch_ts", F.current_timestamp())
@@ -340,10 +357,11 @@ class CrawlEngine:
         t_step = _lap("lineage", t_step)
 
         # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
-        #    exact residual anti-join against the full seen set.
+        #    exact residual anti-join against the full seen set; the epoch's
+        #    delta commits once and is the seen-set increment.
         links = (
-            extracted.select(
-                F.explode_outer("x.links").alias("url"),
+            res.select(
+                F.explode_outer("links").alias("url"),
                 (F.col("depth") + 1).alias("depth"),
             )
             .filter(F.col("url").startswith("http"))
@@ -352,7 +370,7 @@ class CrawlEngine:
         )
         seen = self._read_seen_through(epoch - 1)
         if cfg.use_sketches and bloom is not None:
-            flagged = self._sketch_prefilter(links, bloom, cuckoos).cache()
+            flagged = self._sketch_prefilter(links, bloom, cuckoos)
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             residual = (
                 flagged.filter(F.col("maybe_seen"))
@@ -362,29 +380,34 @@ class CrawlEngine:
             new_urls = definitely_new.unionByName(residual)
         else:
             new_urls = links.join(seen, "url", "left_anti")
-        new_frontier = with_frontier_columns(
-            new_urls, F.col("depth"), epoch + 1
-        ).cache()
-        new_n = new_frontier.count()
+        obs_new = Observation(f"new_{epoch}")
+        with_frontier_columns(new_urls, F.col("depth"), epoch + 1).observe(
+            obs_new, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(self._delta_path(epoch))
+        new_n = int(obs_new.get["n"])
+        new_frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            self._delta_path(epoch)
+        )
         t_step = _lap("expand", t_step)
 
         # 6. next frontier snapshot: survivors (pending minus this batch) +
         #    the newly discovered URLs; laid out by (host_prefix, salt).
         survivors = pending.join(batch.select("url"), "url", "left_anti")
-        next_frontier = survivors.unionByName(new_frontier).repartition(
-            max(self.spark.sparkContext.defaultParallelism, 4),
-            "host_prefix",
-            "salt",
+        obs_front = Observation(f"frontier_{epoch}")
+        next_frontier = (
+            survivors.unionByName(new_frontier)
+            .observe(obs_front, F.count(F.lit(1)).alias("n"))
+            .repartition(
+                max(self.spark.sparkContext.defaultParallelism, 4),
+                "host_prefix",
+                "salt",
+            )
         )
-        next_frontier = next_frontier.cache()
         next_frontier.write.mode("overwrite").parquet(self._frontier_path(epoch))
-        pending_after = next_frontier.count()
+        pending_after = int(obs_front.get["n"])
         t_step = _lap("frontier_commit", t_step)
 
-        # 7. seen delta + sketches, then the manifest commit.
-        new_frontier.select("url").write.mode("overwrite").parquet(
-            self._seen_path(epoch)
-        )
+        # 7. sketches over the committed delta, then the manifest commit.
         if cfg.use_sketches:
             bloom, cuckoos = self._build_sketches(
                 new_frontier.select("url"), bloom, cuckoos
@@ -404,9 +427,6 @@ class CrawlEngine:
         }
         _manifest_path(self.ckpt, epoch).write_text(json.dumps(summary))
         batch.unpersist()
-        extracted.unpersist()
-        new_frontier.unpersist()
-        next_frontier.unpersist()
         return summary
 
     # -- views over committed results ----------------------------------------

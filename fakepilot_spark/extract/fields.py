@@ -127,7 +127,9 @@ def _contact_triplet(dom: Tag):
 def _categories(dom: Tag) -> list:
     """Category labels in document order (xray.py:120-128); each entry is the
     tag's ``.string`` (may be None for unexpected markup, as in the reference)."""
-    hits = dom.find_all(lambda t: t.has_attr("data-business-unit-info-category-typography"))
+    # attrs-presence (True matcher) ≡ the reference's has_attr predicate
+    # (xray.py:22-24,127) over tags, and it hits the doc index.
+    hits = dom.find_all(attrs={"data-business-unit-info-category-typography": True})
     return [t.string for t in hits]
 
 
@@ -181,15 +183,15 @@ def _review_record(card: Tag) -> dict:
     """One review card → dict (xray.py:216-339)."""
     author_tag = card.find(attrs={"data-consumer-name-typography": "true"})
     profile = card.find(attrs={"data-consumer-profile-link": "true"})
-    rating_tag = card.find(lambda t: t.has_attr("data-service-review-rating"))
+    rating_tag = card.find(attrs={"data-service-review-rating": True})
     when_tag = card.find(attrs={"data-service-review-date-time-ago": "true"})
-    title_tag = card.find(lambda t: t.has_attr("data-service-review-title-typography"))
+    title_tag = card.find(attrs={"data-service-review-title-typography": True})
     body_tag = card.find(attrs={"data-service-review-text-typography": "true"})
     if not body_tag:
         content = ""  # xray.py:275-276 (changelog fix: empty-body reviews)
     else:
         content = _whole_text(body_tag).replace("\n", "").strip()
-    count_tag = card.find(lambda t: t.has_attr("data-consumer-reviews-count"))
+    count_tag = card.find(attrs={"data-consumer-reviews-count": True})
     country_tag = card.find(attrs={"data-consumer-country-typography": "true"})
     exp_tag = card.find(
         attrs={"data-service-review-date-of-experience-typography": "true"}
@@ -222,7 +224,7 @@ def review_records(dom: Tag, limit: int) -> list:
     if not scope:
         scope = dom
     cards = scope.find_all(
-        lambda t: t.has_attr("data-service-review-card-paper"), limit=limit
+        attrs={"data-service-review-card-paper": True}, limit=limit
     )
     return [_review_record(card) for card in cards]
 

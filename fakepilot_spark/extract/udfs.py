@@ -45,7 +45,11 @@ def _extract_batch(html: pd.Series, nreviews, with_reviews, with_links, strict):
             if with_reviews:
                 review_list = review_records(dom, nreviews)
             if with_links:
-                link_list = link_hrefs(dom)
+                # only absolute links are frontier candidates (the crawl
+                # engine and the single-threaded oracle both apply exactly
+                # this filter); dropping relative hrefs here keeps thousands
+                # of dead strings per page out of the Arrow result batch.
+                link_list = [h for h in link_hrefs(dom) if h.startswith("http")]
         except Exception as exc:  # noqa: BLE001 - converted to data, not control flow
             if strict:
                 raise

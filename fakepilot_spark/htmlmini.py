@@ -83,7 +83,7 @@ class Tag:
     index ``pos`` and its descendants occupy ``_flat[pos+1:end]``.
     """
 
-    __slots__ = ("name", "attrs", "contents", "_flat", "pos", "end", "_ctoks")
+    __slots__ = ("name", "attrs", "contents", "_flat", "pos", "end", "_ctoks", "_idx")
 
     def __init__(self, name: str, attrs: dict, flat: list | None = None) -> None:
         self.name = name
@@ -93,6 +93,7 @@ class Tag:
         self.pos = 0
         self.end = 0
         self._ctoks = None
+        self._idx = None
 
     # -- attribute access ---------------------------------------------------
 
@@ -156,6 +157,20 @@ class Tag:
     def find_all(self, name=None, attrs=None, class_=None, string=None, limit=None):
         return list(self._search(name, attrs, class_, string, limit))
 
+    def _doc_index(self):
+        """Lazy whole-document query index, shared by every tag of the doc.
+
+        Built once (first indexed query) in one pre-order pass; queries then
+        touch only candidate positions instead of re-scanning the ~10^4-node
+        flat array per ``find`` — the extraction UDF issues ~a dozen
+        whole-document finds per page, so this is the crawl hot path.
+        """
+        root = self._flat[0]
+        idx = root._idx
+        if idx is None:
+            idx = root._idx = _DocIndex(self._flat)
+        return idx
+
     def _search(self, name, attrs, class_, string, limit):
         flat = self._flat
         lo, hi = self.pos + 1, self.end
@@ -164,30 +179,80 @@ class Tag:
             # text-node search (reference: find(string=re.compile(...)),
             # /root/reference/src/fakepilot/xray.py:131-137). bs4 matches any
             # NavigableString instance, which includes comment/raw subtypes.
-            for idx in range(lo, hi):
-                node = flat[idx]
-                if type(node) is StrNode and _match_str(string, node.text):
-                    yield node
-                    n += 1
-                    if limit is not None and n >= limit:
-                        return
+            # The matcher runs once per *distinct* text value (SSR markup
+            # repeats short runs thousands of times), then positions merge
+            # back into document order.
+            hits = []
+            for val, positions in self._doc_index().text_val_pos.items():
+                if _match_str(string, val):
+                    hits.extend(positions)
+            hits.sort()
+            for p in hits:
+                if p < lo:
+                    continue
+                if p >= hi:
+                    break
+                yield flat[p]
+                n += 1
+                if limit is not None and n >= limit:
+                    return
             return
         callable_name = name is not None and callable(name) and not isinstance(name, str)
-        for idx in range(lo, hi):
-            node = flat[idx]
-            if type(node) is not Tag:
-                continue
+        candidates = None
+        if not callable_name:
+            idx = self._doc_index()
+            if attrs:
+                for key in attrs:
+                    lst = idx.attr_pos.get(key)
+                    if lst is None:
+                        return  # attr key absent from the whole document
+                    if candidates is None or len(lst) < len(candidates):
+                        candidates = lst
             if name is not None:
-                if callable_name:
-                    if not name(node):
-                        continue
-                elif node.name != name:
+                lst = idx.name_pos.get(name)
+                if lst is None:
+                    return
+                if candidates is None or len(lst) < len(candidates):
+                    candidates = lst
+            if candidates is None and class_ is not None:
+                # evaluate the class matcher per distinct raw class string,
+                # then merge the (document-ordered) position lists.
+                merged = []
+                for val, positions in idx.class_val_pos.items():
+                    if _match_multi(class_, val.split()):
+                        merged.extend(positions)
+                merged.sort()
+                candidates = merged
+        if candidates is None:
+            # callable tag predicate: full document-order scan (bs4 fallback)
+            for p in range(lo, hi):
+                node = flat[p]
+                if type(node) is not Tag:
                     continue
+                if name is not None and not name(node):
+                    continue
+                if class_ is not None:
+                    tokens = node.class_tokens
+                    if tokens is None or not _match_multi(class_, tokens):
+                        continue
+                if attrs and not _match_attrs(node, attrs):
+                    continue
+                yield node
+                n += 1
+                if limit is not None and n >= limit:
+                    return
+            return
+        start = _bisect_left(candidates, lo)
+        for ci in range(start, len(candidates)):
+            p = candidates[ci]
+            if p >= hi:
+                break
+            node = flat[p]
+            if name is not None and node.name != name:
+                continue
             if class_ is not None:
                 tokens = node.class_tokens
-                if tokens is None:
-                    continue
-                if not _match_multi(class_, tokens):
+                if tokens is None or not _match_multi(class_, tokens):
                     continue
             if attrs and not _match_attrs(node, attrs):
                 continue
@@ -198,6 +263,89 @@ class Tag:
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<{self.name} {self.attrs!r} children={len(self.contents)}>"
+
+
+from bisect import bisect_left as _bisect_left
+
+
+class _DocIndex:
+    """Document-order position indexes over one parsed page's flat array.
+
+    Every list is naturally sorted (built in one pre-order pass), so range
+    restriction to a tag's subtree span is a bisect + early break. The index
+    is a pure acceleration structure: ``_search`` re-verifies the full
+    predicate on every candidate, so query semantics are exactly the scan's.
+    """
+
+    __slots__ = ("name_pos", "attr_pos", "class_val_pos", "text_val_pos")
+
+    def __init__(self, flat: list) -> None:
+        # One cheap dict op per node: group tags by the *identity* of their
+        # (memoized, shared) attrs dict and strings by the identity of their
+        # (memoized) text object; expand to per-key / per-value indexes once
+        # per distinct group. SSR pages have ~10^4 nodes but only dozens of
+        # distinct attr blobs / short text runs.
+        name_pos: dict = {}
+        attr_groups: dict = {}  # id(attrs) -> (attrs, [pos...])
+        text_groups: dict = {}  # id(text) -> (text, [pos...])
+        for i in range(1, len(flat)):
+            node = flat[i]
+            if type(node) is Tag:
+                nm = node.name
+                lst = name_pos.get(nm)
+                if lst is None:
+                    name_pos[nm] = [i]
+                else:
+                    lst.append(i)
+                a = node.attrs
+                if a:
+                    g = attr_groups.get(id(a))
+                    if g is None:
+                        attr_groups[id(a)] = (a, [i])
+                    else:
+                        g[1].append(i)
+            else:
+                t = node.text
+                g = text_groups.get(id(t))
+                if g is None:
+                    text_groups[id(t)] = (t, [i])
+                else:
+                    g[1].append(i)
+        attr_pos: dict = {}
+        class_val_pos: dict = {}
+        for a, positions in attr_groups.values():
+            for k in a:
+                lst = attr_pos.get(k)
+                if lst is None:
+                    attr_pos[k] = list(positions)
+                else:
+                    lst.extend(positions)
+            c = a.get("class")
+            if c is not None:
+                lst = class_val_pos.get(c)
+                if lst is None:
+                    class_val_pos[c] = list(positions)
+                else:
+                    lst.extend(positions)
+        text_val_pos: dict = {}
+        for t, positions in text_groups.values():
+            lst = text_val_pos.get(t)
+            if lst is None:
+                text_val_pos[t] = positions
+            else:
+                lst.extend(positions)
+        # interleaved groups concatenate out of order; one Timsort pass per
+        # list restores document order (already-sorted lists are O(n)).
+        for lst in attr_pos.values():
+            lst.sort()
+        for lst in class_val_pos.values():
+            lst.sort()
+        for lst in text_val_pos.values():
+            lst.sort()
+        self.name_pos = name_pos
+        self.attr_pos = attr_pos
+        self.class_val_pos = class_val_pos
+        self.text_val_pos = text_val_pos
 
 
 def _match_str(matcher, text: str) -> bool:
@@ -408,6 +556,15 @@ _MARKED_CLOSE = _re.compile(r"]\s*]\s*>")  # stdlib _markupbase marked-section c
 # attrs are never mutated after construction.
 _ATTR_BLOB_CACHE: dict = {}
 
+# Whole start-tag token cache: "<div class=...>" → (name, attrs, selfclosing).
+# SSR ballast repeats identical start tags thousands of times per page and
+# across pages; a repeated token costs one find + one slice + one dict hit
+# instead of two regex matches + an attr scan. Only tokens the fast-lane
+# regex matches *exactly* (fm.end() == token end) are cached — a quoted '>'
+# inside an attribute value makes the naive token a non-match, which falls
+# back to the position-anchored regex path below, so semantics are unchanged.
+_START_TOKEN_CACHE: dict = {}
+
 
 def _parse_attr_blob(blob: str) -> dict:
     cached = _ATTR_BLOB_CACHE.get(blob)
@@ -493,13 +650,28 @@ def parse_fast(markup) -> Tag:
         i = lt
         nxt = s[lt + 1 : lt + 2]
         if nxt and (nxt.isalpha() or nxt == "_"):  # start tag
-            fm = _FAST_START.match(s, lt)
-            if fm:
+            gt = find(">", lt)
+            cached = (
+                _START_TOKEN_CACHE.get(s[lt : gt + 1]) if 0 <= gt - lt <= 256 else None
+            )
+            if cached is not None:
+                name, attrs, selfclosing = cached
+                close = gt + 1
+                fm = True
+            else:
+                fm = _FAST_START.match(s, lt)
+            if cached is not None:
+                pass
+            elif fm:
                 name = fm.group(1).lower()
                 blob = fm.group(2)
                 attrs = _parse_attr_blob(blob) if blob else {}
                 selfclosing = fm.group(3) == "/"
                 close = fm.end()
+                if close == gt + 1 and gt - lt <= 256:
+                    if len(_START_TOKEN_CACHE) > 100_000:
+                        _START_TOKEN_CACHE.clear()
+                    _START_TOKEN_CACHE[s[lt:close]] = (name, attrs, selfclosing)
             else:
                 # tolerant fallback: exact stdlib-regex semantics
                 m = _locatestart.match(s, lt)
