@@ -61,6 +61,40 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _subtree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant (the Spark JVM and its Python workers), via procfs.
+
+    Sampled around the timed crawl: utilization = Δcpu / (wall × cores) is
+    scaling evidence robust to this sandbox's fluctuating host speed — a
+    slowed host lowers urls/sec but cannot fake kept-busy cores.
+    """
+    clk = os.sysconf("SC_CLK_TCK")
+    procs = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                rest = f.read().rsplit(b")", 1)[-1].split()
+        except OSError:
+            continue
+        # rest: state ppid pgrp ... utime(idx 11) stime(idx 12)
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    me = os.getpid()
+    total = 0
+    for pid, (ppid, ticks) in procs.items():
+        p = pid
+        seen = set()
+        while p > 1 and p not in seen:
+            if p == me:
+                total += ticks
+                break
+            seen.add(p)
+            p = procs.get(p, (0, 0))[0]
+    return total / clk
+
+
 def _force(df) -> None:
     """Execute the full plan, evaluating EVERY output column.
 
@@ -77,9 +111,11 @@ def crawl_bench(spark, sf: float) -> dict:
     Pages are fixture-realistic (~270 KB: 25 review cards + tag-soup ballast;
     real Trustpilot pages are 0.3–1 MB, SURVEY.md §0) and batches are large —
     the regime a production crawl actually runs in, where per-epoch scheduling
-    overhead amortizes against Python-CPU extraction. The corpus is NOT
-    cached: the fetch join regenerates pages JVM-side (column-pruned, cheap),
-    standing in for fetch I/O, so memory stays flat at any SF.
+    overhead amortizes against Python-CPU extraction. The corpus is committed
+    once (untimed) as an uncompressed parquet pages table — the sandbox
+    analogue of the north rule's Iceberg pages corpus — and the timed crawl
+    scans those files per epoch, so the measurement covers scan → broadcast
+    fetch-join → vectorized extraction → expand → commit.
     """
     from fakepilot_spark.corpus import materialize_corpus, synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
@@ -143,17 +179,24 @@ def crawl_bench(spark, sf: float) -> dict:
         cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
     )
     engine = CrawlEngine(spark, pages, cfg)
+    cpu0 = _subtree_cpu_sec()
     t0 = time.time()
     summary = engine.run()
     wall = time.time() - t0
+    cpu = _subtree_cpu_sec() - cpu0
     shutil.rmtree(ckpt, ignore_errors=True)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+    fetched = summary["total_fetched"]
     return {
         "wall_sec": round(wall, 3),
-        "urls_fetched": summary["total_fetched"],
-        "urls_per_sec": round(summary["total_fetched"] / wall, 2),
+        "urls_fetched": fetched,
+        "urls_per_sec": round(fetched / wall, 2),
         "epochs": len(summary["epochs"]),
+        "epoch_steps": [s["steps"] for s in summary["epochs"]],
+        "cpu_sec": round(cpu, 1),
+        "cpu_per_url_ms": round(cpu * 1000 / max(fetched, 1), 1),
+        "utilization": round(cpu / (wall * CPUS), 3),
     }
 
 

@@ -13,9 +13,11 @@ Architecture (north rule, BASELINE.json:6,14):
 * fetch = equi-join of the admitted batch against the pages corpus on ``url``
   (the sandbox's stand-in for HTTP; AQE splits the mega-host skew).
 * extract = the vectorized pandas-UDF pipeline (company + reviews + links).
-* commit = companies/reviews/lineage/seen-delta/frontier snapshot/sketches
-  written under ``epoch=N`` paths; the epoch manifest JSON is written last
-  and is the atomic commit point — resume replays from the highest manifest.
+* commit = results (companies+reviews+links)/lineage/new-URL delta/frontier
+  snapshot/sketches written under ``epoch=N`` paths; the union of new-URL
+  deltas through epoch N IS the URL-seen set (one table, column-pruned on
+  read); the epoch manifest JSON is written last and is the atomic commit
+  point — resume replays from the highest manifest.
 
 Iceberg surface: tables are partitioned Parquet behind stable paths (jars
 absent in sandbox, SURVEY.md §8); on a real cluster the writes become
@@ -246,26 +248,58 @@ class CrawlEngine:
             "total_fetched": sum(s["urls_fetched"] for s in summaries),
         }
 
+    def _write_lineage(self, epoch: int, results_dir: str, lineage_dir: str) -> None:
+        """Per-partition lineage (partition_id, urls_fetched, frontier_epoch,
+        fetch_ts) from the committed results files' footers (driver-side)."""
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(results_dir).glob("*.parquet"))
+        counts = [pq.ParquetFile(str(f)).metadata.num_rows for f in files]
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        table = pa.table(
+            {
+                "partition_id": pa.array(range(len(files)), pa.int32()),
+                "urls_fetched": pa.array(counts, pa.int64()),
+                "frontier_epoch": pa.array([epoch] * len(files), pa.int32()),
+                "fetch_ts": pa.array([now] * len(files), pa.timestamp("us")),
+            }
+        )
+        Path(lineage_dir).mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, str(Path(lineage_dir) / "part-0.parquet"))
+
     def _write_sketches(self, epoch: int, bloom: bytes | None, cuckoos: dict) -> None:
+        """Sketch state is merged driver-side (tree-reduce output), so it
+        commits driver-side too — parquet via pyarrow, no Spark job."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         d = self.ckpt / "sketches" / f"epoch={epoch}"
         d.mkdir(parents=True, exist_ok=True)
         if bloom is not None:
             (d / "bloom.bin").write_bytes(bloom)
         if cuckoos:
-            pdf = pd.DataFrame(
-                {"pid": list(cuckoos), "blob": [cuckoos[k] for k in cuckoos]}
+            table = pa.table(
+                {
+                    "pid": pa.array(list(cuckoos), pa.int32()),
+                    "blob": pa.array([cuckoos[k] for k in cuckoos], pa.binary()),
+                }
             )
-            self.spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-                str(d / "cuckoo")
-            )
+            pq.write_table(table, str(d / "cuckoo.parquet"))
 
     def _read_sketches(self, epoch: int):
+        import pyarrow.parquet as pq
+
         d = self.ckpt / "sketches" / f"epoch={epoch}"
         bloom = (d / "bloom.bin").read_bytes() if (d / "bloom.bin").exists() else None
         cuckoos = {}
-        if (d / "cuckoo").exists():
-            for row in self.spark.read.parquet(str(d / "cuckoo")).collect():
-                cuckoos[int(row["pid"])] = bytes(row["blob"])
+        f = d / "cuckoo.parquet"
+        if f.exists():
+            t = pq.read_table(str(f))
+            for pid, blob in zip(t["pid"].to_pylist(), t["blob"].to_pylist()):
+                cuckoos[int(pid)] = bytes(blob)
         return bloom, cuckoos
 
     def _run_epoch(self, epoch: int) -> dict:
@@ -345,15 +379,10 @@ class CrawlEngine:
         res = self.spark.read.parquet(epoch_dir("results"))
         t_step = _lap("fetch_extract_write", t_step)
 
-        # 4. lineage: per-partition fetch accounting (north rule fields),
-        # derived from the committed results files.
-        lineage = (
-            res.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("urls_fetched"))
-            .withColumn("frontier_epoch", F.lit(epoch))
-            .withColumn("fetch_ts", F.current_timestamp())
-        )
-        lineage.write.mode("overwrite").parquet(epoch_dir("lineage"))
+        # 4. lineage: per-partition fetch accounting (north rule fields).
+        # One committed results file == one partition, so the counts come
+        # straight from the parquet footers — no Spark job.
+        self._write_lineage(epoch, epoch_dir("results"), epoch_dir("lineage"))
         t_step = _lap("lineage", t_step)
 
         # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
