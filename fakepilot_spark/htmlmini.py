@@ -565,6 +565,27 @@ _ATTR_BLOB_CACHE: dict = {}
 # back to the position-anchored regex path below, so semantics are unchanged.
 _START_TOKEN_CACHE: dict = {}
 
+# Shared string nodes: StrNode is an immutable value object (text, kind) —
+# nothing mutates one after construction (the emit-time run merge replaces
+# the node instead of appending to it) — so identical (kind, text) pairs
+# across a page/batch share one object. SSR ballast repeats ~30 distinct
+# short runs thousands of times per page; sharing removes that allocation
+# churn and makes the doc index's identity-grouping O(distinct).
+_STRNODE_CACHE: dict = {}
+_STRNODE_CACHE_MAX_LEN = 512
+
+
+def _strnode(text: str, kind: int) -> StrNode:
+    if len(text) > _STRNODE_CACHE_MAX_LEN:
+        return StrNode(text, kind)
+    key = (kind, text)
+    node = _STRNODE_CACHE.get(key)
+    if node is None:
+        if len(_STRNODE_CACHE) > 100_000:
+            _STRNODE_CACHE.clear()
+        node = _STRNODE_CACHE[key] = StrNode(text, kind)
+    return node
+
 
 def _parse_attr_blob(blob: str) -> dict:
     cached = _ATTR_BLOB_CACHE.get(blob)
@@ -617,19 +638,29 @@ def parse_fast(markup) -> Tag:
         if contents:
             last = contents[-1]
             if type(last) is StrNode and last.kind == kind:
-                last.text += segment
+                # adjacent same-kind runs merge; nodes are shared/immutable,
+                # so merge = replace (the merged-into node is necessarily
+                # the most recent flat append — see StrNode cache note).
+                merged = _strnode(last.text + segment, kind)
+                contents[-1] = merged
+                flat[-1] = merged
                 return
-        node = StrNode(segment, kind)
+        node = _strnode(segment, kind)
         flat.append(node)
         contents.append(node)
 
     def emit_str(segment: str, kind: int) -> None:
-        node = StrNode(segment, kind)
+        node = _strnode(segment, kind)
         flat.append(node)
         stack[-1].contents.append(node)
 
     def close_tag(name: str) -> None:
         if name in _VOID:
+            return
+        if stack[-1].name == name:  # well-formed fast path
+            top = stack[-1]
+            top.end = len(flat)
+            del stack[-1]
             return
         for idx in range(len(stack) - 1, 0, -1):
             if stack[idx].name == name:

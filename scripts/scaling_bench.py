@@ -262,7 +262,7 @@ Crawl headline inside the suite run: {suite["urls_per_sec"]} URLs/sec
 The reference (phoenixsite/fakepilot) publishes no benchmark numbers and
 cannot run in this sandbox (bs4/lxml absent — SURVEY.md §8). Context: it is a
 single-threaded sequential extractor; measured single-core extraction here is
-~19 ms per real 541 KB fixture page on this box (bs4-identical output), so
+~15 ms per real 541 KB fixture page on this box (bs4-identical output), so
 single-node throughput matches the reference at equal fidelity before any
 parallelism, and the engine then scales it across cores/executors.
 """
