@@ -88,6 +88,9 @@ class CrawlEngine:
         return max(epochs, default=-1)
 
     def _frontier_path(self, epoch: int) -> str:
+        if epoch == -1:
+            # the epoch -1 pending snapshot IS the seed delta — one table
+            return self._delta_path(-1)
         return str(self.ckpt / "frontier" / f"epoch={epoch}")
 
     def _delta_path(self, epoch: int) -> str:
@@ -121,10 +124,14 @@ class CrawlEngine:
         )
         n_bits, n_hashes = proto.n_bits, proto.n_hashes
 
+        # pid is the LOGICAL cuckoo partition; the physical shuffle width
+        # follows cluster parallelism (build() groups by pid within a task,
+        # so several logical partitions may share one physical task).
+        width = min(P, self.spark.sparkContext.defaultParallelism)
         hashed = urls.select(
             F.xxhash64("url").alias("h"),
             F.pmod(F.xxhash64("url"), F.lit(P)).cast("int").alias("pid"),
-        ).repartition(P, "pid")
+        ).repartition(width, "pid")
 
         def build(pdfs):
             acc: dict = {}
@@ -224,7 +231,6 @@ class CrawlEngine:
             from .frontier import seeds_frontier
 
             frontier = seeds_frontier(self.spark, cfg.seeds)
-            frontier.write.mode("overwrite").parquet(self._frontier_path(-1))
             frontier.write.mode("overwrite").parquet(self._delta_path(-1))
             if cfg.use_sketches:
                 bloom, cuckoos = self._build_sketches(frontier.select("url"), None, {})

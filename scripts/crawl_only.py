@@ -72,7 +72,8 @@ def _solo_probe_mops() -> float:
 bench.CPUS = CPUS
 probe_before = _solo_probe_mops()
 spark = get_spark(
-    app_name=f"crawl-only-{CPUS}", cores=CPUS, shuffle_partitions=max(CPUS, 32)
+    app_name=f"crawl-only-{CPUS}", cores=CPUS,
+    shuffle_partitions=max(2 * CPUS, 16),
 )
 probe = HostProbe()
 probe.start()

@@ -33,7 +33,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-PAIR_SMALL = (2, 8, 6000)  # (N cores, 4N cores, crawl corpus pages)
+PAIR_SMALL = (2, 8, 16000)  # (N cores, 4N cores, crawl corpus pages)
 PAIR_LARGE = (8, 32, 16000)
 REPS = 6  # max attempts per pair; stops early on a fast-window attempt
 
@@ -113,7 +113,7 @@ def main() -> None:
         for _ in range(5):
             ceiling = cpu_ceiling((PAIR_SMALL, PAIR_LARGE))
             print({k: round(v / 1e6, 1) for k, v in ceiling.items()}, "M ops/s", flush=True)
-            if ceiling[2] / 2 / 1e6 >= 11.0:  # per-proc fast-phase gate
+            if (ceiling[8] / ceiling[2]) / 4 >= 0.85:  # fair-window gate
                 break
             time.sleep(45)
         if ceiling_file.exists():  # keep the best ceiling ever observed
@@ -122,23 +122,50 @@ def main() -> None:
         ceiling_file.parent.mkdir(exist_ok=True)
         ceiling_file.write_text(json.dumps(ceiling))
 
-    # The hypervisor intermittently caps this VM's TOTAL CPU (measured:
-    # local[2] ≡ local[8] throughput during capped phases, single-core probe
-    # dropping 15→5 Mops) — scaling is only observable in fast-host windows.
-    # Each attempt runs the pair's two configs back-to-back (same weather);
-    # attempts repeat until one lands with every run probe-stamped fast.
-    FAST_MOPS = 11.0
+    # This VM's host weather flaps on minute timescales, in two modes:
+    # uniform per-core slowdown (fair — ratios still meaningful) and capped /
+    # stalling phases (unfair — 4N gains nothing regardless of the plan). A
+    # pair attempt is kept as FAIR when (a) a quick multiprocess burn scales
+    # properly across the pair's two levels immediately before and after it,
+    # and (b) both runs' in-run probe traces saw similar weather.
+    def burn_fairness(n_, four_n_, iters=6_000_000):
+        walls = {}
+        for procs in (n_, four_n_):
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(_burn, [iters] * procs)
+                walls[procs] = time.time() - t0
+        return (four_n_ * iters / walls[four_n_]) / (n_ * iters / walls[n_]) / (
+            four_n_ / n_
+        )
+
+    def trace_mean(r):
+        tr = r.get("probe_trace") or r.get("probe_mops") or [0]
+        return sum(tr) / len(tr)
 
     best: dict = {}
     for n, four_n, pages in () if report_only else (PAIR_SMALL, PAIR_LARGE):
+        fair_gate = 0.85 if four_n <= 8 else 0.66
         for attempt in range(REPS):
-            fast = True
+            f_before = burn_fairness(n, four_n)
+            if f_before < fair_gate:
+                print(f"attempt {attempt}: burn fairness {f_before:.2f} < "
+                      f"{fair_gate} — waiting for a fair window", flush=True)
+                time.sleep(60)
+                continue
+            runs = {}
             for cpus in (n, four_n):
+                print(f"attempt {attempt}: local[{cpus}] corpus={pages} "
+                      f"(fairness {f_before:.2f}) ...", flush=True)
+                runs[cpus] = run_crawl(cpus, pages)
+            f_after = burn_fairness(n, four_n)
+            means = [trace_mean(runs[n]), trace_mean(runs[four_n])]
+            similar = min(means) / max(means) >= 0.7 if max(means) else False
+            fair = f_after >= fair_gate and similar
+            for cpus, r in runs.items():
+                r["fast_host"] = fair
+                r["burn_fairness"] = [round(f_before, 3), round(f_after, 3)]
                 key = (cpus, pages)
-                print(f"attempt {attempt}: local[{cpus}] corpus={pages} ...", flush=True)
-                r = run_crawl(cpus, pages)
-                r["fast_host"] = min(r["probe_mops"]) >= FAST_MOPS
-                fast = fast and r["fast_host"]
                 prev = best.get(key)
                 if (
                     prev is None
@@ -147,8 +174,8 @@ def main() -> None:
                 ):
                     best[key] = r
                 print(json.dumps(r), flush=True)
-            if fast and attempt >= 1:
-                break  # ≥2 attempts, last one entirely in a fast window
+            if fair:
+                break  # pair measured inside one fair window
 
     def eff(pair):
         n, four_n, pages = pair
@@ -167,7 +194,7 @@ def main() -> None:
             except ValueError:
                 continue
             key = (r.get("cpus"), r.get("pages"))
-            r.setdefault("fast_host", min(r.get("probe_mops") or [0]) >= FAST_MOPS)
+            r.setdefault("fast_host", False)
             prev = best.get(key)
             if prev is None or (r["fast_host"], r["urls_per_sec"]) > (
                 prev["fast_host"], prev["urls_per_sec"]
