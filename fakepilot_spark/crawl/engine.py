@@ -55,6 +55,7 @@ class CrawlConfig:
     robots_rules: dict = field(default_factory=dict)
     host_budgets: dict = field(default_factory=dict)
     use_sketches: bool = True
+    epoch_seconds: float = 60.0  # virtual epoch duration for crawl-delay caps
     bloom_capacity: int = 1 << 20
     bloom_fpp: float = 0.01
     cuckoo_partitions: int = 16
@@ -334,8 +335,17 @@ class CrawlEngine:
         allowed = (
             apply_robots(pending, self._robots) if cfg.robots_rules else pending
         )
-        if cfg.host_budgets or cfg.default_budget < cfg.global_batch:
-            admitted = admit_per_host(allowed, self._politeness, cfg.default_budget)
+        has_delay = any(
+            d and d > 0 for _, d in cfg.robots_rules.values()
+        )
+        if cfg.host_budgets or cfg.default_budget < cfg.global_batch or has_delay:
+            admitted = admit_per_host(
+                allowed,
+                self._politeness,
+                cfg.default_budget,
+                robots=self._robots if has_delay else None,
+                epoch_seconds=cfg.epoch_seconds,
+            )
         else:
             admitted = allowed
         batch = admitted.orderBy(F.desc("score"), F.asc("url")).limit(

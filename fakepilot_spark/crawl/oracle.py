@@ -28,6 +28,7 @@ def oracle_crawl(
     default_budget: int,
     host_budgets: dict | None = None,
     robots_rules: dict | None = None,
+    epoch_seconds: float = 60.0,
 ) -> dict:
     """corpus: url -> list of outgoing absolute links.
 
@@ -64,6 +65,10 @@ def oracle_crawl(
         admitted = []
         for host, urls in by_host.items():
             budget = host_budgets.get(host, default_budget)
+            rules = robots_rules.get(host)
+            if rules and rules[1] and rules[1] > 0:
+                # robots crawl-delay caps fetches per (virtual) epoch
+                budget = min(budget, int(epoch_seconds // rules[1]))
             urls.sort(key=lambda t: (-_score(t[1]), t[0]))
             admitted.extend(urls[:budget])
         # global micro-batch

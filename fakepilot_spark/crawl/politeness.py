@@ -68,9 +68,16 @@ def admit_per_host(
     frontier: DataFrame,
     politeness: DataFrame,
     default_budget: int,
+    robots: DataFrame | None = None,
+    epoch_seconds: float | None = None,
 ) -> DataFrame:
     """Rank candidates within each host by (score desc, url asc) and keep the
     top ``budget`` — the token-bucket admission for one epoch.
+
+    When ``robots``/``epoch_seconds`` are given, a host's robots
+    ``crawl_delay`` caps its effective budget at
+    ``floor(epoch_seconds / crawl_delay)`` fetches per epoch (deterministic
+    virtual time, so crawl ordering stays a pure function of inputs).
 
     Scale note: the window partitions by (host) which is exactly the skew
     axis; AQE skew handling plus the salt column keep the sort bounded —
@@ -80,11 +87,23 @@ def admit_per_host(
     from pyspark.sql import Window
 
     w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
-    ranked = (
-        frontier.join(F.broadcast(politeness), "host", "left")
-        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
-        .withColumn("host_rank", F.row_number().over(w))
+    ranked = frontier.join(F.broadcast(politeness), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
     )
+    if robots is not None and epoch_seconds is not None:
+        delay_cap = F.floor(F.lit(float(epoch_seconds)) / F.col("crawl_delay"))
+        ranked = (
+            ranked.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+            .withColumn(
+                "budget",
+                F.when(
+                    F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+                    F.least(F.col("budget"), delay_cap.cast("int")),
+                ).otherwise(F.col("budget")),
+            )
+            .drop("crawl_delay")
+        )
+    ranked = ranked.withColumn("host_rank", F.row_number().over(w))
     return ranked.filter(F.col("host_rank") <= F.col("budget")).drop(
         "budget", "host_rank"
     )

@@ -23,7 +23,11 @@ SEEDS = [
     "https://host2.example.com/review/c38",
     "https://missing.example.com/nowhere",  # exercises the 404 path
 ]
-ROBOTS = {"host5.example.com": (["/review"], 1.0)}
+ROBOTS = {
+    "host5.example.com": (["/review"], 1.0),
+    # no disallow, but a crawl-delay that binds: floor(60 / 35) = 1 per epoch
+    "host2.example.com": ([], 35.0),
+}
 BUDGETS = {"host0.example.com": 1}  # tighter budget on the mega-host
 
 
@@ -72,7 +76,7 @@ def oracle_result(corpus_dict):
         global_batch=12,
         default_budget=2,
         host_budgets=BUDGETS,
-        robots_rules={"host5.example.com": (["/review"], 1.0)},
+        robots_rules=ROBOTS,
     )
 
 
@@ -103,6 +107,15 @@ def test_robots_respected(engine_run):
     fetched = [u for epoch in engine.fetched_urls_in_order() for u in epoch]
     assert fetched, "crawl fetched nothing"
     assert not [u for u in fetched if u.startswith("https://host5.example.com/review")]
+
+
+def test_crawl_delay_caps_per_epoch(engine_run):
+    """host2's robots crawl-delay (35 s, 60 s virtual epoch) caps it at 1
+    fetch per epoch even though the default budget is 2."""
+    engine, _ = engine_run
+    for epoch_urls in engine.fetched_urls_in_order():
+        host2 = [u for u in epoch_urls if u.startswith("https://host2.")]
+        assert len(host2) <= 1
 
 
 def test_politeness_budget_respected(engine_run):
