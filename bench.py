@@ -134,12 +134,12 @@ def crawl_bench(spark, sf: float) -> dict:
         filler_kb=250,
     )
     # size input splits so the fetch-join scan (which carries extraction)
-    # fans out to ~6 tasks/core regardless of corpus bytes; restored by the
+    # fans out to ~10 tasks/core (short stage tail at high core counts) regardless of corpus bytes; restored by the
     # caller's session defaults for the operator suite below.
     total_bytes = sum(
         f.stat().st_size for f in Path(corpus_dir).glob("*.parquet")
     )
-    split = max(total_bytes // (CPUS * 6), 1 << 20)
+    split = max(total_bytes // (CPUS * 10), 1 << 20)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
     # ~64 rows/columnar batch: at ~270 KB/page the default 4096-row reader

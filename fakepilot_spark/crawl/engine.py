@@ -448,15 +448,34 @@ class CrawlEngine:
                 "salt",
             )
         )
-        next_frontier.write.mode("overwrite").parquet(self._frontier_path(epoch))
-        pending_after = int(obs_front.get["n"])
+
+        # 6+7 run CONCURRENTLY: the frontier snapshot write and the sketch
+        # build both read only already-committed inputs (pending parquet,
+        # the epoch delta) and touch disjoint outputs — two driver threads
+        # submit both jobs so the cluster is never idle between them. The
+        # manifest (the atomic commit point) still writes strictly after.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit_frontier() -> int:
+            next_frontier.write.mode("overwrite").parquet(
+                self._frontier_path(epoch)
+            )
+            return int(obs_front.get["n"])
+
+        def _build():
+            if cfg.use_sketches:
+                return self._build_sketches(
+                    new_frontier.select("url"), bloom, cuckoos
+                )
+            return bloom, cuckoos
+
+        with ThreadPoolExecutor(2) as pool:
+            fut_frontier = pool.submit(_commit_frontier)
+            fut_sketches = pool.submit(_build)
+            pending_after = fut_frontier.result()
+            bloom, cuckoos = fut_sketches.result()
         t_step = _lap("frontier_commit", t_step)
 
-        # 7. sketches over the committed delta, then the manifest commit.
-        if cfg.use_sketches:
-            bloom, cuckoos = self._build_sketches(
-                new_frontier.select("url"), bloom, cuckoos
-            )
         self._write_sketches(epoch, bloom, cuckoos)
         t_step = _lap("seen_sketches", t_step)
 
