@@ -144,8 +144,8 @@ _SQL_POLITENESS = (
   FROM frontier
 )
 SELECT host, budget,
-       SUM(CASE WHEN pos <= budget THEN 1 ELSE 0 END) AS n_admitted,
-       SUM(CASE WHEN pos > budget THEN 1 ELSE 0 END) AS n_deferred
+       CAST(SUM(CASE WHEN pos <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(SUM(CASE WHEN pos > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
 FROM ranked
 GROUP BY host, budget
 """

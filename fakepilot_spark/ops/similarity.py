@@ -107,8 +107,12 @@ GROUP BY label
 
 # --------------------------------------------------------------------------
 # Q: LSH bucketing with deterministic hyperplanes —
-# sign(plane j, dim d) = +1 if (j*1315423911 + d*2654435761) % 2 == 0 else -1.
-# Bucket = 8-bit signature of dot-product signs. Oracle-checkable.
+# sign(plane j, dim d) = +1 if ((d+3)·(1+j)·2654435761 mod 97) is even.
+# Bucket = 8-bit signature of projection signs. The projection is computed in
+# INTEGER space — each float element is scaled by 1e6 and floored to a BIGINT
+# before the signed sum — so the sign test is exact and order-independent on
+# both engines (a double-precision fold differs between Spark's sequential
+# aggregate and DuckDB's list_sum near the 0 boundary).
 # --------------------------------------------------------------------------
 
 
@@ -117,16 +121,18 @@ def _plane_sign(j: int, d):
     # plane is a distinct pseudo-random ±1 pattern over d (a naive linear
     # parity would collapse all planes onto one pattern up to sign).
     k = F.pmod((d + 3) * F.lit((1 + j) * 2654435761), F.lit(97))
-    return F.when(F.pmod(k, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.when(F.pmod(k, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
 
 
 def _plane_merge(j: int):
     """Factory closing over the plane index (a 2-arg lambda for aggregate)."""
 
     def merge(acc, d):
-        return acc + F.element_at(
-            F.col("embedding"), (d + 1).cast("int")
-        ).cast("double") * _plane_sign(j, d)
+        scaled = F.floor(
+            F.element_at(F.col("embedding"), (d + 1).cast("int")).cast("double")
+            * F.lit(1_000_000.0)
+        )
+        return acc + scaled * _plane_sign(j, d).cast("bigint")
 
     return merge
 
@@ -135,7 +141,9 @@ def _bucket_expr():
     bucket = None
     for j in range(_PLANES):
         proj = F.aggregate(
-            F.sequence(F.lit(0), F.lit(_DIMS - 1)), F.lit(0.0), _plane_merge(j)
+            F.sequence(F.lit(0), F.lit(_DIMS - 1)),
+            F.lit(0).cast("bigint"),
+            _plane_merge(j),
         )
         bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
@@ -155,15 +163,18 @@ def q_embedding_lsh_buckets(spark, sf):
     )
 
 
-_SQL_LSH_BUCKETS = """
-WITH sig AS (
-  SELECT vec_id,
-         list_sum(list_transform(range(0, 8), j ->
+_SQL_BUCKET_EXPR = """
+         CAST(list_sum(list_transform(range(0, 8), j ->
            CASE WHEN list_sum(list_transform(range(0, 64), d ->
-                  CAST(embedding[d + 1] AS DOUBLE) *
+                  CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
                   (CASE WHEN ((d + 3) * ((1 + j) * 2654435761)) % 97 % 2 = 0
-                        THEN 1.0 ELSE -1.0 END))) > 0
-                THEN (1 << j) ELSE 0 END)) AS bucket
+                        THEN 1 ELSE -1 END))) > 0
+                THEN (1 << j) ELSE 0 END)) AS INTEGER)
+"""
+
+_SQL_LSH_BUCKETS = f"""
+WITH sig AS (
+  SELECT vec_id, {_SQL_BUCKET_EXPR} AS bucket
   FROM embeddings
 )
 SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
@@ -174,14 +185,30 @@ GROUP BY bucket
 # --------------------------------------------------------------------------
 # Q: embedding near-dup pairs via LSH buckets + exact cosine rerank
 # (the IVF/LSH scale pattern: candidates from buckets, exact check after).
-# Rows-only: pair set depends on the bucket partition above.
+# The corpus is augmented with deterministic planted duplicates (every
+# vec_id % 37 == 0 vector re-appears as vec_id + 10_000_000) so the query
+# provably returns rows: a planted twin shares its original's bucket (same
+# integer projection) and reranks at cosine 1.0; natural same-bucket pairs
+# rerank below the 0.9 cut and are filtered — both paths exercised, both
+# DuckDB-verifiable.
 # --------------------------------------------------------------------------
+
+_TWIN_STRIDE = 37
+_TWIN_OFFSET = 10_000_000
+
+
+def _augmented_embeddings(spark, sf):
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.pmod(F.col("vec_id"), F.lit(_TWIN_STRIDE)) == 0).select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
 
 
 def q_embedding_near_dup_pairs(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    aug = _augmented_embeddings(spark, sf)
     # recompute bucket per vector (cheap, codegen) rather than reusing the agg
-    vecs = emb.select("vec_id", _bucket_expr().alias("bucket"), "embedding")
+    vecs = aug.select("vec_id", _bucket_expr().alias("bucket"), "embedding")
     a = vecs.alias("a")
     b = vecs.alias("b")
     pairs = a.join(
@@ -203,6 +230,28 @@ def q_embedding_near_dup_pairs(spark, sf):
     return pairs.filter(F.col("cosine") >= 0.9)
 
 
+_SQL_NEAR_DUP_PAIRS = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_TWIN_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {_TWIN_STRIDE} = 0
+), sig AS (
+  SELECT vec_id, {_SQL_BUCKET_EXPR} AS bucket, embedding
+  FROM aug
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+FROM sig a JOIN sig b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.9
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_label_stats": q_embedding_label_stats,
@@ -214,5 +263,5 @@ ORACLES = {
     "embedding_cosine_topk": _SQL_COSINE_TOPK,
     "embedding_label_stats": _SQL_LABEL_STATS,
     "embedding_lsh_buckets": _SQL_LSH_BUCKETS,
-    # embedding_near_dup_pairs: rows-only (pair set = LSH candidates ∩ rerank).
+    "embedding_near_dup_pairs": _SQL_NEAR_DUP_PAIRS,
 }

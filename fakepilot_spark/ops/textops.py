@@ -373,7 +373,7 @@ _SQL_BINARY_PROFILE = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS modality,
        COUNT(*) AS n_items,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents
 GROUP BY 1

@@ -23,12 +23,18 @@ TABLES = [
 ]
 
 
+STRICT = False  # --strict: exact float repr, emulating the driver's value hash
+
+
 def canon_cell(v):
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT:
+            # shortest round-trip repr: equal reprs => bit-equal doubles
+            return repr(v)
         # canonical 12-significant-digit rendering absorbs last-ulp noise
         return f"{v:.12g}"
     if isinstance(v, bool):
@@ -49,8 +55,11 @@ def canon_frame(df) -> tuple:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    only = argv[1] if len(argv) > 1 else None
 
     import __spark_entry__ as e
     from fakepilot_spark.session import get_spark

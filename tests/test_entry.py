@@ -25,7 +25,6 @@ def test_registry_consistent():
     assert rows_only == {
         "minhash_lsh_pairs",
         "simhash_near_pairs",
-        "embedding_near_dup_pairs",
         "extract_fixture_companies",
         "extract_fixture_reviews",
         "media_feature_profile",
