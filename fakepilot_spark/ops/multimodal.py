@@ -34,9 +34,11 @@ except ImportError:
 def _fake_decode_features(payload: bytes, n_features: int = 8) -> list:
     """Deterministic stand-in for decode + feature extraction.
 
-    Folds payload bytes into ``n_features`` float accumulators — stable,
-    content-sensitive, and library-free. A real deployment swaps this single
-    function for PIL/torchaudio/ffmpeg and nothing else changes.
+    Folds payload bytes into ``n_features`` accumulators (feature j = sum of
+    bytes at positions ≡ j mod n_features) — stable, content-sensitive, and
+    library-free; integer-valued doubles, so aggregates over them are exact
+    on any engine. A real deployment swaps this single function for
+    PIL/torchaudio/ffmpeg and nothing else changes.
     """
     if _REAL_DECODERS:  # pragma: no cover
         raise NotImplementedError("wire real decoders here")
@@ -45,8 +47,7 @@ def _fake_decode_features(payload: bytes, n_features: int = 8) -> list:
     if pad:
         arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
     folded = arr.reshape(-1, n_features).sum(axis=0, dtype=np.float64)
-    total = float(folded.sum()) or 1.0
-    return [round(float(x) / total, 6) for x in folded]
+    return [float(x) for x in folded]
 
 
 def media_items(spark, sf) -> DataFrame:
@@ -91,16 +92,34 @@ def q_media_features(spark, sf) -> DataFrame:
 
 
 def q_media_feature_profile(spark, sf) -> DataFrame:
-    """Aggregated view used by the driver check: per-modality feature norms
-    (scalar projections keep the oracle comparable)."""
+    """Aggregated view used by the driver check: per-modality feature sums.
+
+    The decoded features are integer-valued (byte-fold sums), so the
+    aggregate is exact and the whole pipeline — including the mapInPandas
+    decode output — is verified value-level against a DuckDB oracle that
+    recomputes the fold arithmetically from the text bytes (ASCII corpus:
+    ``ord(substr(...))`` is the byte)."""
     feats = q_media_features(spark, sf)
     f0 = F.element_at("features", 1)
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.sum(f0.cast("decimal(18,6)")), 4).cast("double").alias("sum_f0"),
+        F.sum(f0).cast("bigint").alias("sum_f0"),
     )
 
 
+_SQL_MEDIA_PROFILE = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(list_sum(list_transform(
+           range(1, length(text) + 1, 8),
+           i -> ord(substr(text, i, 1))))) AS BIGINT) AS sum_f0
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {"media_feature_profile": q_media_feature_profile}
-ORACLES: dict = {}  # decode features are non-SQL-expressible → rows-only
+ORACLES = {"media_feature_profile": _SQL_MEDIA_PROFILE}

@@ -4,22 +4,17 @@ Deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), quality scoring,
 token statistics, language-ID heuristics, and document fingerprinting — the
 operations a 100 TB web-text corpus pipeline runs after extraction.
 
-Scale notes: everything except the two sketch-based dedups is pure native
-Spark SQL (codegen, shuffle only on groupBy/join keys). The sketch dedups use
-one Arrow-batched pandas UDF to compute signatures, then native banding joins
-— the LSH trick is precisely what makes near-dup detection feasible at 10^10
-documents (candidate pairs ∝ band collisions, not n²).
+Scale notes: every operator here — including the MinHash and SimHash sketch
+dedups — is pure native Spark SQL (codegen, shuffle only on groupBy/join
+keys; signatures come from md5-prefix hashes and exact BIGINT arithmetic,
+no Python in any plan). The LSH trick is precisely what makes near-dup
+detection feasible at 10^10 documents (candidate pairs ∝ band collisions,
+not n²).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
 
 from . import load
 
@@ -222,49 +217,72 @@ WHERE ROUND(n_common / (sa.n_toks + sb.n_toks - n_common), 4) >= 0.9
 """
 
 # --------------------------------------------------------------------------
-# Q: MinHash + LSH candidate pairs (sketch path; rows-only driver check —
-# the hash family is not reproducible in ANSI SQL).
+# Q: MinHash + LSH candidate pairs. The whole path is native Spark SQL (no
+# Python in the plan): 3-token shingles via higher-order functions, a 60-bit
+# md5-prefix shingle hash (`conv(substr(md5(s),1,15),16,10)` — DuckDB spells
+# it `('0x'||substr(md5(s),1,15))::BIGINT`), and the classic Broder affine
+# permutation family over the prime 2^31-1, all in exact BIGINT arithmetic —
+# which also makes the pair set fully DuckDB-oracleable.
+#
+# Scale note: candidate pairs ∝ band-key collisions, not n². The band count
+# is a parameter (`bands`): more bands → wider keys are NOT the lever; fewer
+# rows per band → higher recall / more candidates. At 10^9+ docs keep
+# rows-per-band ≥ 4 so band keys stay selective (key space ~ M^rows).
 # --------------------------------------------------------------------------
 
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 4 rows per band
-_MERSENNE = (1 << 61) - 1
+_MH_PRIME = 2147483647  # 2^31 - 1: products a*h stay < 2^62 (no overflow)
+# affine permutation constants, shared verbatim with the SQL oracle
+_MH_A = [1 + (j * 2654435761) % (_MH_PRIME - 1) for j in range(_MINHASH_PERMS)]
+_MH_B = [(j * 40503 + 7) % _MH_PRIME for j in range(_MINHASH_PERMS)]
 
 
-def _stable64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+def _hash60(col):
+    """Shared 60-bit token/shingle hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def _minhash_signature(text: str, n_shingle: int = 3) -> list:
-    toks = text.split()
-    if len(toks) < n_shingle:
-        shingles = {" ".join(toks)} if toks else {""}
-    else:
-        shingles = {
-            " ".join(toks[j : j + n_shingle]) for j in range(len(toks) - n_shingle + 1)
-        }
-    hashes = np.fromiter((_stable64(s) for s in shingles), dtype=np.uint64)
-    # affine permutations over a Mersenne prime (classic Broder construction)
-    a = (np.arange(1, _MINHASH_PERMS + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-    b = np.arange(_MINHASH_PERMS, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-    vals = (np.outer(a, hashes) + b[:, None]) % np.uint64(_MERSENNE)
-    return [int(x) for x in vals.min(axis=1).astype(np.int64)]
+def _shingles_expr(n_shingle: int = 3):
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return F.when(
+        n < n_shingle, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (n_shingle - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n_shingle)),
+            )
+        )
+    )
 
 
-@pandas_udf(ArrayType(LongType()))
-def _minhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(_minhash_signature)
+def _minhash_sig_cols():
+    """32 min-hash columns over the shingle-hash array (exact BIGINT math)."""
+    hashes = F.transform(_shingles_expr(), lambda s: F.pmod(_hash60(s), F.lit(_MH_PRIME)))
+
+    def perm(j):
+        # single-arg lambda (a 2-arg one would receive the array index)
+        return lambda h: F.pmod(
+            F.lit(_MH_A[j]) * h + F.lit(_MH_B[j]), F.lit(_MH_PRIME)
+        )
+
+    return [
+        F.array_min(F.transform(hashes, perm(j))).alias(f"mh{j}")
+        for j in range(_MINHASH_PERMS)
+    ]
 
 
-def q_minhash_lsh_pairs(spark, sf):
+def q_minhash_lsh_pairs(spark, sf, bands: int = _LSH_BANDS):
     docs = load(spark, sf, "documents")
-    sigs = docs.select("doc_id", _minhash_udf("text").alias("sig"))
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    rows_per_band = _MINHASH_PERMS // bands
+    sigs = docs.select("doc_id", F.array(*_minhash_sig_cols()).alias("sig"))
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
+                F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.slice("sig", band * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
@@ -282,48 +300,126 @@ def q_minhash_lsh_pairs(spark, sf):
     )
 
 
+def _sql_minhash_pairs(bands: int = _LSH_BANDS) -> str:
+    rows_per_band = _MINHASH_PERMS // bands
+    mh_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_PRIME}))"
+        for j in range(_MINHASH_PERMS)
+    )
+    band_keys = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, CAST({b} AS VARCHAR) || '_' || {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3
+              THEN [array_to_string(string_split(text, ' '), ' ')]
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         END AS shingles
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {_MH_PRIME}) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id, [{mh_exprs}] AS sig
+  FROM hs
+), banded AS (
+{band_keys}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
-# Q: SimHash near-dup buckets (rows-only): 64-bit signature via pandas UDF,
-# hamming distance through native bit_count(xor) on band-joined candidates.
+# Q: SimHash near-dup pairs — fully native: tokens explode once, two 32-bit
+# md5-prefix hashes per token, 64 signed bit-sums as ONE partial-aggregated
+# groupBy (map-side combine → 64 BIGINTs per doc cross the shuffle), band
+# values assembled in a projection. Band join + bit_count(xor) hamming
+# rerank, threshold 3.
+#
+# Scale note: 4 bands × 16 bits guarantees recall for hamming ≤ 3
+# (pigeonhole) but caps the key space at 2^16 per band — at 10^9+ docs use
+# more bands over a wider signature (band count is the `bands` parameter;
+# bits per band = 64 / bands) so within-bucket joins stay subquadratic.
 # --------------------------------------------------------------------------
 
-
-def _simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = _stable64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    sig = 0
-    for bit in np.nonzero(acc > 0)[0]:
-        sig |= 1 << int(bit)
-    return sig - (1 << 64) if sig >= (1 << 63) else sig
+_SIMHASH_BANDS = 4
 
 
-@pandas_udf(LongType())
-def _simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(_simhash64)
+def _hash32(col, half: int):
+    """32-bit token hash: md5 hex chars [1..8] (half 0) or [9..16] (half 1)."""
+    return F.conv(F.substring(F.md5(col), 1 + 8 * half, 8), 16, 10).cast("bigint")
 
 
-def q_simhash_near_pairs(spark, sf):
+def _simhash_bands_df(spark, sf, bands: int):
+    """(doc_id, bands array<bigint>) — 64-bit simhash as `bands` band values."""
+    bits_per_band = 64 // bands
     docs = load(spark, sf, "documents")
-    sigs = docs.select("doc_id", _simhash_udf("text").alias("sig"))
-    # 4 bands of 16 bits: any pair within hamming<=3 of 64 bits must collide
-    # on at least one band (pigeonhole).
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        _hash32(F.col("tok"), 0).alias("h0"),
+        _hash32(F.col("tok"), 1).alias("h1"),
+    )
+    # global bit k lives in half k//32 at offset k%32; ±1 sums, one per bit
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col(f"h{k // 32}"), k % 32)
+                .bitwiseAND(F.lit(1))
+                .cast("bigint")
+                * 2
+                - 1
+            ).alias(f"s{k}")
+            for k in range(64)
+        ]
+    )
+    band_vals = [
+        sum(
+            F.when(F.col(f"s{b * bits_per_band + i}") > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i in range(bits_per_band)
+        ).cast("bigint")
+        for b in range(bands)
+    ]
+    return sums.select("doc_id", F.array(*band_vals).alias("bands"))
+
+
+def q_simhash_near_pairs(spark, sf, bands: int = _SIMHASH_BANDS):
+    # `bands` bands of 64/bands bits: any pair within hamming <= bands-1 of
+    # 64 bits must collide on at least one band (pigeonhole) — recall is
+    # guaranteed for the hamming<=3 cut whenever bands >= 4.
+    sigs = _simhash_bands_df(spark, sf, bands)
     banded = sigs.select(
         "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sig", k * 16).bitwiseAND(F.lit(0xFFFF))
-                    for k in range(4)
-                ]
-            )
-        ).alias("band", "band_val"),
+        "bands",
+        F.posexplode("bands").alias("band", "band_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.element_at(F.col("a.bands"), i + 1).bitwiseXOR(
+                F.element_at(F.col("b.bands"), i + 1)
+            )
+        )
+        for i in range(bands)
+    )
     pairs = (
         a.join(
             b,
@@ -334,11 +430,56 @@ def q_simhash_near_pairs(spark, sf):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3)
+
+
+def _sql_simhash_pairs(bands: int = _SIMHASH_BANDS) -> str:
+    bits_per_band = 64 // bands
+    sum_exprs = ",\n         ".join(
+        f"SUM(((h{k // 32} >> {k % 32}) & 1) * 2 - 1) AS s{k}" for k in range(64)
+    )
+    band_exprs = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{b * bits_per_band + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per_band)
+        )
+        + " AS BIGINT)"
+        for b in range(bands)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, bands, {b} AS band, bands[{b + 1}] AS band_val FROM sig"
+        for b in range(bands)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(a.bands[{i + 1}], b.bands[{i + 1}]))" for i in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h0,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h1
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+), sums AS (
+  SELECT doc_id,
+         {sum_exprs}
+  FROM toks GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, [{band_exprs}] AS bands
+  FROM sums
+), banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({hamming} AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE {hamming} <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -400,6 +541,6 @@ ORACLES = {
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "binary_payload_profile": _SQL_BINARY_PROFILE,
-    # minhash_lsh_pairs / simhash_near_pairs: sketch hash families are not
-    # ANSI-SQL-expressible → rows-only driver check (allowed by contract).
+    "minhash_lsh_pairs": _sql_minhash_pairs(),
+    "simhash_near_pairs": _sql_simhash_pairs(),
 }

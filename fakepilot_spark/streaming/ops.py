@@ -93,6 +93,100 @@ def _running_stats(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     )
 
 
+def _running_totals_exact(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Like :func:`_running_stats` but with an integer-cents accumulator
+    (``floor(value * 100)`` per event) so the cross-batch state is exact and
+    associative — the final state is verifiable against a plain DuckDB
+    aggregate regardless of how events split into micro-batches."""
+    import math
+
+    (user_id,) = key
+    if state.exists:
+        n, cents = state.get
+    else:
+        n, cents = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(sum(math.floor(v * 100) for v in pdf["value"]))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: run the stateful ``applyInPandasWithState``
+    stream to completion (availableNow, 4 staged files → 4 micro-batches so
+    state genuinely crosses batch boundaries) and return the FINAL per-user
+    state as a batch DataFrame. Oracle = a plain per-user aggregate."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    # stage the single events file as 4 event_id-sliced files (deterministic)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "fps_stream4_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != 4:
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
+        n = t.num_rows
+        for i in range(4):
+            lo, hi = i * n // 4, (i + 1) * n // 4
+            pq.write_table(t.slice(lo, hi - lo), os.path.join(stage, f"part-{i:03d}.parquet"))
+
+    name = "user_totals_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="fps_ckpt_")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals_exact,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink: a user's LAST emission (max n_events — n is strictly
+    # increasing across that user's batches) is the final state
+    from pyspark.sql import Window
+
+    tbl = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
+
+
+_SQL_STREAM_USER_TOTALS = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES = {"stream_user_totals": q_stream_user_totals}
+ORACLES = {"stream_user_totals": _SQL_STREAM_USER_TOTALS}
+
+
 def stream_user_running_stats(
     spark: SparkSession, sf_dir: str, checkpoint: str, queryName: str = "user_stats_stream"
 ):

@@ -14,7 +14,9 @@ def test_media_features_shape_and_determinism(spark):
     assert len(a) == 500
     for feats in a.values():
         assert len(feats) == 8
-        assert abs(sum(feats) - 1.0) < 1e-3  # normalized fold
+        # integer-valued byte-fold sums: exact under any aggregation order
+        assert all(f >= 0 and f == int(f) for f in feats)
+        assert sum(feats) > 0
 
 
 def test_media_modalities_cover_all(spark):
