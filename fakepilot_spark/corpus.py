@@ -351,6 +351,7 @@ def materialize_corpus(
     path: str,
     n_pages: int,
     files: int = 192,
+    buckets: int | None = None,
     **page_kwargs,
 ) -> DataFrame:
     """Write the synthetic corpus ONCE as a committed Parquet pages table and
@@ -371,9 +372,28 @@ def materialize_corpus(
         # uncompressed: the id-salted ballast would otherwise snappy-compress
         # ~300:1, which no real WARC corpus does — stored plain, the scan
         # volume (and the input-split math below) reflects real page bytes.
-        synth_pages(spark, n_pages, partitions=files, **page_kwargs).write.mode(
-            "overwrite"
-        ).option("compression", "none").parquet(str(p))
+        df = synth_pages(spark, n_pages, partitions=files, **page_kwargs)
+        if buckets:
+            # url-hash-bucketed layout: one directory per
+            # pbucket = pmod(xxhash64(url), buckets) so the crawl's fetch
+            # scan can prune to the buckets an epoch batch actually hits.
+            import pyspark.sql.functions as _F
+
+            (
+                df.withColumn(
+                    "pbucket",
+                    _F.pmod(_F.xxhash64("url"), _F.lit(buckets)).cast("int"),
+                )
+                .repartition(buckets, "pbucket")
+                .write.mode("overwrite")
+                .option("compression", "none")
+                .partitionBy("pbucket")
+                .parquet(str(p))
+            )
+        else:
+            df.write.mode("overwrite").option("compression", "none").parquet(
+                str(p)
+            )
     return spark.read.parquet(str(p))
 
 

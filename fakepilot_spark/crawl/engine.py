@@ -8,8 +8,11 @@ Architecture (north rule, BASELINE.json:6,14):
   functions of (score desc, url asc) — parallelism-invariant by construction.
 * URL-seen = broadcast bloom pre-filter (definitely-new links skip the exact
   anti-join) → per-partition cuckoo filters (second-stage, partitioned by
-  ``pmod(xxhash64(url), P)``) → exact left-anti residual. Sketches are built
-  per-partition and merged tree-wise (``RDD.treeReduce``).
+  ``pmod(xxhash64(url), P)``) → exact left-anti residual. Bloom fragments
+  tree-merge (``RDD.treeReduce``) into the one broadcastable blob; cuckoo
+  state lives as a partitioned table merged distributedly per pid
+  (groupBy + applyInPandas) and probed via cogroup — the driver never
+  holds or ships per-partition sketch state.
 * fetch = equi-join of the admitted batch against the pages corpus on ``url``
   (the sandbox's stand-in for HTTP; AQE splits the mega-host skew).
 * extract = the vectorized pandas-UDF pipeline (company + reviews + links).
@@ -60,6 +63,12 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     cuckoo_partitions: int = 16
     cuckoo_capacity_per_partition: int = 1 << 16
+    # hash-bucketed pages corpus (url-hash partition pruning in the fetch
+    # scan): path of a parquet table partitioned by
+    # pbucket = pmod(xxhash64(url), pages_buckets). When set, each epoch
+    # scans ONLY the buckets its batch can hit instead of the full corpus.
+    pages_path: str | None = None
+    pages_buckets: int | None = None
 
 
 def _manifest_path(ckpt: Path, epoch: int) -> Path:
@@ -109,13 +118,27 @@ class CrawlEngine:
 
     # -- sketches -----------------------------------------------------------
 
+    def _cuckoo_dir(self, epoch: int) -> str:
+        return str(self.ckpt / "sketches" / f"epoch={epoch}" / "cuckoo")
+
     def _build_sketches(
-        self, urls: DataFrame, prev_bloom: bytes | None, prev_cuckoos: dict
-    ) -> tuple:
-        """One distributed pass builds BOTH sketches: per-key-partition cuckoo
-        filters (urls land in partition pmod(xxhash64(url), P)) plus a bloom
-        fragment per partition; fragments are tree-merged driver-side and
-        or-ed into the previous epoch's state."""
+        self, urls: DataFrame, prev_bloom: bytes | None, epoch: int
+    ) -> bytes:
+        """One distributed pass builds BOTH sketches; neither merge touches
+        the driver with per-partition state:
+
+        * per-pid cuckoo fragments (urls land in pid = pmod(xxhash64(url),
+          P)) merge DISTRIBUTEDLY — groupBy(pid) + applyInPandas over the
+          union of this epoch's fragments and the previous epoch's
+          partitioned cuckoo table — and commit straight to this epoch's
+          cuckoo table (one row per pid). The driver never holds cuckoo
+          state, so P and capacity can scale with the corpus.
+        * per-task bloom fragments tree-merge (``RDD.treeReduce``) into the
+          single broadcastable pre-filter blob — the only sketch the driver
+          keeps, because broadcasting it is the point.
+
+        Returns the merged bloom blob (or-ed into ``prev_bloom``).
+        """
         P = self.cfg.cuckoo_partitions
         cap = self.cfg.cuckoo_capacity_per_partition
         proto = (
@@ -151,63 +174,74 @@ class CrawlEngine:
             rows.append((-1, bloom.to_bytes()))  # pid -1 = bloom fragment
             yield pd.DataFrame({"pid": [r[0] for r in rows], "blob": [r[1] for r in rows]})
 
-        built = hashed.mapInPandas(build, "pid int, blob binary").collect()
-        bloom = proto
-        cuckoos = dict(prev_cuckoos)
-        for row in built:
-            pid, blob = row["pid"], bytes(row["blob"])
-            if pid == -1:
-                bloom.merge(BloomFilter.from_bytes(blob))
-            elif pid in cuckoos:
-                cuckoos[pid] = (
-                    CuckooFilter.from_bytes(cuckoos[pid])
-                    .merge(CuckooFilter.from_bytes(blob))
-                    .to_bytes()
-                )
-            else:
-                cuckoos[pid] = blob
-        return bloom.to_bytes(), cuckoos
+        frags = hashed.mapInPandas(build, "pid int, blob binary").persist()
+
+        # cuckoo: fragments ∪ previous table → per-pid merge → epoch table
+        cuckoo_frags = frags.filter(F.col("pid") >= 0)
+        prev_dir = self._cuckoo_dir(epoch - 1)
+        if Path(prev_dir).exists():
+            cuckoo_frags = cuckoo_frags.unionByName(
+                self.spark.read.parquet(prev_dir)
+            )
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            blobs = sorted(bytes(b) for b in pdf["blob"])  # stable order
+            cf = CuckooFilter.from_bytes(blobs[0])
+            for b in blobs[1:]:
+                cf = cf.merge(CuckooFilter.from_bytes(b))
+            return pd.DataFrame(
+                {"pid": [int(pdf["pid"].iloc[0])], "blob": [cf.to_bytes()]}
+            )
+
+        (
+            cuckoo_frags.groupBy("pid")
+            .applyInPandas(merge_group, "pid int, blob binary")
+            .write.mode("overwrite")
+            .parquet(self._cuckoo_dir(epoch))
+        )
+
+        # bloom: tree-merge fragments, or into the carried-forward state
+        def or_blobs(a: bytes, b: bytes) -> bytes:
+            return BloomFilter.from_bytes(a).merge(BloomFilter.from_bytes(b)).to_bytes()
+
+        merged = (
+            frags.filter(F.col("pid") == -1)
+            .select("blob")
+            .rdd.map(lambda r: bytes(r["blob"]))
+            .treeReduce(or_blobs)
+        )
+        frags.unpersist()
+        return BloomFilter.from_bytes(merged).merge(proto).to_bytes()
 
     def _sketch_prefilter(
-        self, links: DataFrame, bloom_blob: bytes, cuckoo_blobs: dict
+        self, links: DataFrame, bloom_blob: bytes, cuckoo_epoch: int
     ) -> DataFrame:
         """Adds ``maybe_seen``: False ⇒ provably never enqueued (bloom, then
-        cuckoo, both no-false-negative) ⇒ skips the exact anti-join."""
+        cuckoo, both no-false-negative) ⇒ skips the exact anti-join.
+
+        Stage 1 is the broadcast bloom pre-filter (one blob, mapInPandas on
+        the scan partitions). Stage 2 refines only the bloom-positive rows
+        against the PARTITIONED cuckoo table: candidates cogroup with the
+        table on pid — executor-side lookups against executor-side state, no
+        driver collect and no multi-GB broadcast dict at high P.
+        """
         from pyspark.sql.types import BooleanType, StructField, StructType
 
         sc = self.spark.sparkContext
         b_bloom = sc.broadcast(bloom_blob)
-        b_cuckoo = sc.broadcast(cuckoo_blobs)
         P = self.cfg.cuckoo_partitions
 
-        def check(pdfs):
+        def bloom_check(pdfs):
             bf = BloomFilter.from_bytes(b_bloom.value)
-            cuckoos = {}
             for pdf in pdfs:
                 if pdf.empty:
                     pdf["maybe_seen"] = pd.Series([], dtype=bool)
                     yield pdf
                     continue
-                h = pdf["h"].to_numpy().view(np.uint64)
-                maybe = bf.contains_many(h)
-                if maybe.any() and b_cuckoo.value:
-                    pids = pdf["pid"].to_numpy()
-                    refined = maybe.copy()
-                    for i in np.nonzero(maybe)[0]:
-                        pid = int(pids[i])
-                        cf = cuckoos.get(pid)
-                        if cf is None:
-                            blob = b_cuckoo.value.get(pid)
-                            if blob is None:
-                                refined[i] = False
-                                continue
-                            cf = cuckoos[pid] = CuckooFilter.from_bytes(blob)
-                        refined[i] = bool(
-                            cf.contains_many(h[i : i + 1])[0]
-                        )
-                    maybe = refined
                 pdf = pdf.copy()
-                pdf["maybe_seen"] = maybe
+                pdf["maybe_seen"] = bf.contains_many(
+                    pdf["h"].to_numpy().view(np.uint64)
+                )
                 yield pdf
 
         hashed = links.withColumn("h", F.xxhash64("url")).withColumn(
@@ -218,7 +252,65 @@ class CrawlEngine:
         out_schema = StructType(
             list(hashed.schema.fields) + [StructField("maybe_seen", BooleanType())]
         )
-        return hashed.mapInPandas(check, out_schema).drop("h", "pid")
+        flagged = hashed.mapInPandas(bloom_check, out_schema)
+
+        cdir = self._cuckoo_dir(cuckoo_epoch)
+        if not Path(cdir).exists():
+            return flagged.drop("h", "pid")
+
+        candidates = flagged.filter(F.col("maybe_seen"))
+        passed = flagged.filter(~F.col("maybe_seen"))
+        cuckoo_tbl = self.spark.read.parquet(cdir)
+
+        def cuckoo_check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return left
+            left = left.copy()
+            if right.empty:
+                left["maybe_seen"] = False
+            else:
+                cf = CuckooFilter.from_bytes(bytes(right["blob"].iloc[0]))
+                left["maybe_seen"] = cf.contains_many(
+                    left["h"].to_numpy().view(np.uint64)
+                )
+            return left
+
+        refined = (
+            candidates.groupBy("pid")
+            .cogroup(cuckoo_tbl.groupBy("pid"))
+            .applyInPandas(cuckoo_check, out_schema)
+        )
+        return refined.unionByName(passed).drop("h", "pid")
+
+    # -- fetch source -------------------------------------------------------
+
+    def _fetch_corpus(self, batch: DataFrame) -> DataFrame:
+        """The pages table the epoch's fetch join scans.
+
+        When the corpus is committed bucketed by url hash
+        (``pbucket = pmod(xxhash64(url), pages_buckets)``), the cached batch
+        yields its distinct bucket set (a metadata-sized list) and the scan
+        carries a partition filter — only matching bucket directories are
+        read. Otherwise the full ``pages`` DataFrame is used as-is.
+        """
+        cfg = self.cfg
+        if not (cfg.pages_path and cfg.pages_buckets):
+            return self.pages.select("url", "warc_ts", "html")
+        buckets = [
+            r["b"]
+            for r in batch.select(
+                F.pmod(F.xxhash64("url"), F.lit(cfg.pages_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return (
+            self.spark.read.parquet(cfg.pages_path)
+            .filter(F.col("pbucket").isin(buckets))
+            .select("url", "warc_ts", "html")
+        )
 
     # -- epoch step ---------------------------------------------------------
 
@@ -233,11 +325,12 @@ class CrawlEngine:
 
             frontier = seeds_frontier(self.spark, cfg.seeds)
             frontier.write.mode("overwrite").parquet(self._delta_path(-1))
-            if cfg.use_sketches:
-                bloom, cuckoos = self._build_sketches(frontier.select("url"), None, {})
-            else:
-                bloom, cuckoos = None, {}
-            self._write_sketches(-1, bloom, cuckoos)
+            bloom = (
+                self._build_sketches(frontier.select("url"), None, epoch=-1)
+                if cfg.use_sketches
+                else None
+            )
+            self._write_bloom(-1, bloom)
             _manifest_path(self.ckpt, -1).parent.mkdir(exist_ok=True)
             _manifest_path(self.ckpt, -1).write_text(
                 json.dumps({"epoch": -1, "seeded": len(cfg.seeds)})
@@ -277,37 +370,18 @@ class CrawlEngine:
         Path(lineage_dir).mkdir(parents=True, exist_ok=True)
         pq.write_table(table, str(Path(lineage_dir) / "part-0.parquet"))
 
-    def _write_sketches(self, epoch: int, bloom: bytes | None, cuckoos: dict) -> None:
-        """Sketch state is merged driver-side (tree-reduce output), so it
-        commits driver-side too — parquet via pyarrow, no Spark job."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+    def _write_bloom(self, epoch: int, bloom: bytes | None) -> None:
+        """The bloom blob is the one driver-held sketch (it exists to be
+        broadcast); the cuckoo table is committed distributedly by
+        :meth:`_build_sketches` under the same epoch directory."""
         d = self.ckpt / "sketches" / f"epoch={epoch}"
         d.mkdir(parents=True, exist_ok=True)
         if bloom is not None:
             (d / "bloom.bin").write_bytes(bloom)
-        if cuckoos:
-            table = pa.table(
-                {
-                    "pid": pa.array(list(cuckoos), pa.int32()),
-                    "blob": pa.array([cuckoos[k] for k in cuckoos], pa.binary()),
-                }
-            )
-            pq.write_table(table, str(d / "cuckoo.parquet"))
 
-    def _read_sketches(self, epoch: int):
-        import pyarrow.parquet as pq
-
-        d = self.ckpt / "sketches" / f"epoch={epoch}"
-        bloom = (d / "bloom.bin").read_bytes() if (d / "bloom.bin").exists() else None
-        cuckoos = {}
-        f = d / "cuckoo.parquet"
-        if f.exists():
-            t = pq.read_table(str(f))
-            for pid, blob in zip(t["pid"].to_pylist(), t["blob"].to_pylist()):
-                cuckoos[int(pid)] = bytes(blob)
-        return bloom, cuckoos
+    def _read_bloom(self, epoch: int) -> bytes | None:
+        f = self.ckpt / "sketches" / f"epoch={epoch}" / "bloom.bin"
+        return f.read_bytes() if f.exists() else None
 
     def _run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
@@ -324,9 +398,7 @@ class CrawlEngine:
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(epoch - 1)
         )
-        bloom, cuckoos = (
-            self._read_sketches(epoch - 1) if cfg.use_sketches else (None, {})
-        )
+        bloom = self._read_bloom(epoch - 1) if cfg.use_sketches else None
 
         # 1. robots + politeness admission, then the ordered global micro-batch.
         # Fast paths (semantics-preserving): an empty robots dim filters
@@ -361,9 +433,12 @@ class CrawlEngine:
         # At 10^10 scale a multi-million-URL batch is still only a few
         # hundred MB of urls vs petabytes of pages; if the batch ever
         # outgrows broadcast, the fallback is a bucket-co-located join,
-        # never an html shuffle.
+        # never an html shuffle. With a bucketed corpus (pages_path +
+        # pages_buckets) the scan is further pruned to the url-hash
+        # partitions the batch can actually hit — K epochs no longer cost
+        # K full corpus scans.
         fetched = F.broadcast(batch.select("url", "depth")).join(
-            self.pages.select("url", "warc_ts", "html"), "url", "inner"
+            self._fetch_corpus(batch), "url", "inner"
         )
 
         # 3. extract (one Arrow batch per partition chunk) on the corpus scan
@@ -415,7 +490,7 @@ class CrawlEngine:
         )
         seen = self._read_seen_through(epoch - 1)
         if cfg.use_sketches and bloom is not None:
-            flagged = self._sketch_prefilter(links, bloom, cuckoos)
+            flagged = self._sketch_prefilter(links, bloom, cuckoo_epoch=epoch - 1)
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             residual = (
                 flagged.filter(F.col("maybe_seen"))
@@ -465,18 +540,18 @@ class CrawlEngine:
         def _build():
             if cfg.use_sketches:
                 return self._build_sketches(
-                    new_frontier.select("url"), bloom, cuckoos
+                    new_frontier.select("url"), bloom, epoch
                 )
-            return bloom, cuckoos
+            return bloom
 
         with ThreadPoolExecutor(2) as pool:
             fut_frontier = pool.submit(_commit_frontier)
             fut_sketches = pool.submit(_build)
             pending_after = fut_frontier.result()
-            bloom, cuckoos = fut_sketches.result()
+            bloom = fut_sketches.result()
         t_step = _lap("frontier_commit", t_step)
 
-        self._write_sketches(epoch, bloom, cuckoos)
+        self._write_bloom(epoch, bloom)
         t_step = _lap("seen_sketches", t_step)
 
         summary = {

@@ -79,14 +79,23 @@ def admit_per_host(
     ``floor(epoch_seconds / crawl_delay)`` fetches per epoch (deterministic
     virtual time, so crawl ordering stays a pure function of inputs).
 
-    Scale note: the window partitions by (host) which is exactly the skew
-    axis; AQE skew handling plus the salt column keep the sort bounded —
-    and the rank is computed on (host_prefix, salt) pre-partitioned data so
-    the shuffle reuses the frontier layout.
+    Scale note — mega-host skew: a single host can hold a third of a
+    10^10-row frontier, so ranking directly over ``partitionBy(host)`` would
+    funnel that host into ONE task's sort. The rank is therefore two-phase:
+
+    1. a local ``row_number`` within (host, salt) — the mega-host's rows are
+       spread over ``N_SALTS`` salt groups, each sorted independently — keeps
+       only the top ``budget`` rows per salt group;
+    2. the final per-host rank runs over the ≤ budget × N_SALTS survivors
+       (a few dozen rows per host, never the raw frontier).
+
+    Phase 2 sees every row that can make the host's true top ``budget``
+    (a row in the host top-k is in its salt group's top-k a fortiori), so
+    the result is identical to a single-window rank — but no task ever
+    sorts more than one salt-share of one host.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
     ranked = frontier.join(F.broadcast(politeness), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
     )
@@ -103,7 +112,18 @@ def admit_per_host(
             )
             .drop("crawl_delay")
         )
-    ranked = ranked.withColumn("host_rank", F.row_number().over(w))
-    return ranked.filter(F.col("host_rank") <= F.col("budget")).drop(
+    # phase 1: per-(host, salt) local top-k prune
+    w_salt = Window.partitionBy("host", "salt").orderBy(
+        F.desc("score"), F.asc("url")
+    )
+    pruned = (
+        ranked.withColumn("salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("salt_rank") <= F.col("budget"))
+        .drop("salt_rank")
+    )
+    # phase 2: exact per-host rank over the bounded survivor set
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    final = pruned.withColumn("host_rank", F.row_number().over(w))
+    return final.filter(F.col("host_rank") <= F.col("budget")).drop(
         "budget", "host_rank"
     )
