@@ -117,29 +117,48 @@ def crawl_bench(spark, sf: float) -> dict:
     scans those files per epoch, so the measurement covers scan → broadcast
     fetch-join → vectorized extraction → expand → commit.
     """
+    import hashlib
+
     from fakepilot_spark.corpus import materialize_corpus, synth_pages
     from fakepilot_spark.crawl.engine import CrawlConfig, CrawlEngine
 
     n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "0")) or max(
         2_000, int(280_000 * sf)
     )
-    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR") or os.path.join(
-        tempfile.gettempdir(), f"bench_corpus_{n_pages}"
-    )
-    # one-time, untimed: commit the pages table (Iceberg-style parquet); the
-    # timed crawl scans these files like any production pages corpus.
-    pages = materialize_corpus(
-        spark, corpus_dir, n_pages, files=192, hosts=101,
+    corpus_buckets = 64
+    page_kwargs = dict(
+        files=192, buckets=corpus_buckets, hosts=101,
         skew_mega_host=True, reviews_per_page=25, links_per_page=4,
         filler_kb=250,
     )
+    # reuse key = n_pages + ALL generation kwargs: changing any page
+    # characteristic produces a different directory, never a stale corpus
+    kw_tag = hashlib.md5(
+        json.dumps(page_kwargs, sort_keys=True).encode()
+    ).hexdigest()[:10]
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR") or os.path.join(
+        tempfile.gettempdir(), f"bench_corpus_{n_pages}_{kw_tag}"
+    )
+    # one-time, untimed: commit the pages table (Iceberg-style parquet,
+    # bucketed by url hash so the fetch scan can prune); the timed crawl
+    # scans these files like any production pages corpus.
+    pages = materialize_corpus(spark, corpus_dir, n_pages, **page_kwargs)
     # size input splits so the fetch-join scan (which carries extraction)
-    # fans out to ~10 tasks/core (short stage tail at high core counts) regardless of corpus bytes; restored by the
-    # caller's session defaults for the operator suite below.
+    # fans out to ~10 tasks/core (short stage tail at high core counts)
+    # regardless of corpus bytes; all three conf overrides are restored in
+    # the finally below so the operator suite runs on session defaults.
     total_bytes = sum(
-        f.stat().st_size for f in Path(corpus_dir).glob("*.parquet")
+        f.stat().st_size for f in Path(corpus_dir).rglob("*.parquet")
     )
     split = max(total_bytes // (CPUS * 10), 1 << 20)
+    saved_conf = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.parquet.columnarReaderBatchSize",
+        )
+    }
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
     # ~64 rows/columnar batch: at ~270 KB/page the default 4096-row reader
@@ -161,32 +180,36 @@ def crawl_bench(spark, sf: float) -> dict:
     )
     pages.write.format("noop").mode("overwrite").save()
 
-    seeds = [
-        r["url"]
-        for r in pages.select("url").where(f"page_id % 3 = 1").collect()
-    ]
-    ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
-    cfg = CrawlConfig(
-        checkpoint_dir=ckpt,
-        seeds=seeds,
-        max_epochs=2,
-        global_batch=n_pages,
-        default_budget=n_pages,
-        nreviews=20,
-        use_sketches=True,
-        bloom_capacity=max(n_pages * 4, 1 << 18),
-        cuckoo_partitions=32,
-        cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
-    )
-    engine = CrawlEngine(spark, pages, cfg)
-    cpu0 = _subtree_cpu_sec()
-    t0 = time.time()
-    summary = engine.run()
-    wall = time.time() - t0
-    cpu = _subtree_cpu_sec() - cpu0
-    shutil.rmtree(ckpt, ignore_errors=True)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+    try:
+        seeds = [
+            r["url"]
+            for r in pages.select("url").where("page_id % 3 = 1").collect()
+        ]
+        ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+        cfg = CrawlConfig(
+            checkpoint_dir=ckpt,
+            seeds=seeds,
+            max_epochs=2,
+            global_batch=n_pages,
+            default_budget=n_pages,
+            nreviews=20,
+            use_sketches=True,
+            bloom_capacity=max(n_pages * 4, 1 << 18),
+            cuckoo_partitions=32,
+            cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
+            pages_path=corpus_dir,
+            pages_buckets=corpus_buckets,
+        )
+        engine = CrawlEngine(spark, pages, cfg)
+        cpu0 = _subtree_cpu_sec()
+        t0 = time.time()
+        summary = engine.run()
+        wall = time.time() - t0
+        cpu = _subtree_cpu_sec() - cpu0
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
     fetched = summary["total_fetched"]
     return {
         "wall_sec": round(wall, 3),

@@ -284,28 +284,30 @@ class CrawlEngine:
 
     # -- fetch source -------------------------------------------------------
 
-    def _fetch_corpus(self, batch: DataFrame) -> DataFrame:
+    def _fetch_corpus(self, batch: DataFrame, buckets: list | None = None) -> DataFrame:
         """The pages table the epoch's fetch join scans.
 
         When the corpus is committed bucketed by url hash
         (``pbucket = pmod(xxhash64(url), pages_buckets)``), the cached batch
-        yields its distinct bucket set (a metadata-sized list) and the scan
-        carries a partition filter — only matching bucket directories are
-        read. Otherwise the full ``pages`` DataFrame is used as-is.
+        yields its distinct bucket set (a metadata-sized list, precomputed by
+        the drain action when available) and the scan carries a partition
+        filter — only matching bucket directories are read. Otherwise the
+        full ``pages`` DataFrame is used as-is.
         """
         cfg = self.cfg
         if not (cfg.pages_path and cfg.pages_buckets):
             return self.pages.select("url", "warc_ts", "html")
-        buckets = [
-            r["b"]
-            for r in batch.select(
-                F.pmod(F.xxhash64("url"), F.lit(cfg.pages_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in batch.select(
+                    F.pmod(F.xxhash64("url"), F.lit(cfg.pages_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
         return (
             self.spark.read.parquet(cfg.pages_path)
             .filter(F.col("pbucket").isin(buckets))
@@ -424,7 +426,19 @@ class CrawlEngine:
             cfg.global_batch
         )
         batch = batch.cache()
-        batch_n = batch.count()
+        # one action materializes the cache AND (for a bucketed corpus)
+        # collects the batch's url-hash bucket set — no separate job for the
+        # fetch-scan pruning metadata.
+        if cfg.pages_path and cfg.pages_buckets:
+            agg_row = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(
+                    F.pmod(F.xxhash64("url"), F.lit(cfg.pages_buckets)).cast("int")
+                ).alias("bks"),
+            ).first()
+            batch_n, batch_buckets = int(agg_row["n"]), list(agg_row["bks"])
+        else:
+            batch_n, batch_buckets = batch.count(), None
         t_step = _lap("drain", t_step)
 
         # 2. fetch = join against the pages corpus. The batch (urls only) is
@@ -438,7 +452,7 @@ class CrawlEngine:
         # partitions the batch can actually hit — K epochs no longer cost
         # K full corpus scans.
         fetched = F.broadcast(batch.select("url", "depth")).join(
-            self._fetch_corpus(batch), "url", "inner"
+            self._fetch_corpus(batch, buckets=batch_buckets), "url", "inner"
         )
 
         # 3. extract (one Arrow batch per partition chunk) on the corpus scan
@@ -500,14 +514,13 @@ class CrawlEngine:
             new_urls = definitely_new.unionByName(residual)
         else:
             new_urls = links.join(seen, "url", "left_anti")
-        obs_new = Observation(f"new_{epoch}")
-        with_frontier_columns(new_urls, F.col("depth"), epoch + 1).observe(
-            obs_new, F.count(F.lit(1)).alias("n")
-        ).write.mode("overwrite").parquet(self._delta_path(epoch))
-        new_n = int(obs_new.get["n"])
-        new_frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
-            self._delta_path(epoch)
-        )
+        # one action computes the whole expansion (prefilter + anti-join)
+        # and pins it; every commit below reads the pinned rows, so the
+        # expensive plan runs exactly once.
+        new_frontier = with_frontier_columns(
+            new_urls, F.col("depth"), epoch + 1
+        ).persist()
+        new_n = new_frontier.count()
         t_step = _lap("expand", t_step)
 
         # 6. next frontier snapshot: survivors (pending minus this batch) +
@@ -524,12 +537,16 @@ class CrawlEngine:
             )
         )
 
-        # 6+7 run CONCURRENTLY: the frontier snapshot write and the sketch
-        # build both read only already-committed inputs (pending parquet,
-        # the epoch delta) and touch disjoint outputs — two driver threads
-        # submit both jobs so the cluster is never idle between them. The
-        # manifest (the atomic commit point) still writes strictly after.
+        # 5b+6+7 run CONCURRENTLY: the delta commit, the frontier snapshot
+        # write, and the sketch build all read the pinned expansion (or
+        # already-committed parquet) and touch disjoint outputs — three
+        # driver threads submit the jobs so the cluster is never idle
+        # between them. The manifest (the atomic commit point) still writes
+        # strictly after every one of them has finished.
         from concurrent.futures import ThreadPoolExecutor
+
+        def _commit_delta() -> None:
+            new_frontier.write.mode("overwrite").parquet(self._delta_path(epoch))
 
         def _commit_frontier() -> int:
             next_frontier.write.mode("overwrite").parquet(
@@ -544,14 +561,17 @@ class CrawlEngine:
                 )
             return bloom
 
-        with ThreadPoolExecutor(2) as pool:
+        with ThreadPoolExecutor(3) as pool:
+            fut_delta = pool.submit(_commit_delta)
             fut_frontier = pool.submit(_commit_frontier)
             fut_sketches = pool.submit(_build)
+            fut_delta.result()
             pending_after = fut_frontier.result()
-            bloom = fut_sketches.result()
+            new_bloom = fut_sketches.result()
+        new_frontier.unpersist()
         t_step = _lap("frontier_commit", t_step)
 
-        self._write_bloom(epoch, bloom)
+        self._write_bloom(epoch, new_bloom)
         t_step = _lap("seen_sketches", t_step)
 
         summary = {

@@ -74,6 +74,13 @@ def make_page_extractor(
 ):
     """Build a pandas UDF ``html:binary -> struct<company, reviews, links, error>``.
 
+    ``with_links=True`` returns ABSOLUTE anchor hrefs only (those starting
+    with ``http``): links feed the crawl frontier, and both the engine and
+    the single-threaded oracle apply exactly this filter. Consumers that
+    need every raw href (relative ones included) should use
+    :func:`fakepilot_spark.extract.fields.link_hrefs` on a parsed page
+    instead.
+
     Usage::
 
         extract = make_page_extractor(nreviews=100, with_links=True)

@@ -258,26 +258,42 @@ def _shingles_expr(n_shingle: int = 3):
     )
 
 
-def _minhash_sig_cols():
-    """32 min-hash columns over the shingle-hash array (exact BIGINT math)."""
-    hashes = F.transform(_shingles_expr(), lambda s: F.pmod(_hash60(s), F.lit(_MH_PRIME)))
-
-    def perm(j):
-        # single-arg lambda (a 2-arg one would receive the array index)
-        return lambda h: F.pmod(
-            F.lit(_MH_A[j]) * h + F.lit(_MH_B[j]), F.lit(_MH_PRIME)
-        )
-
-    return [
-        F.array_min(F.transform(hashes, perm(j))).alias(f"mh{j}")
-        for j in range(_MINHASH_PERMS)
-    ]
+def _minhash_sigs_df(spark, sf):
+    """(doc_id, sig array<bigint>) — shingles explode ONCE (one md5 per
+    shingle), then the 32 permutation minima come from a single
+    partial-aggregated groupBy (map-side combine → 32 BIGINTs per doc cross
+    the shuffle). Keeping the 32 permutations as separate agg columns over
+    an exploded hash column — rather than 32 array_min(transform(...))
+    projections — matters: Catalyst does not share the md5 subtree across
+    higher-order lambdas, so the projection form recomputes the shingle
+    hashing 32×."""
+    docs = load(spark, sf, "documents")
+    hs = docs.select(
+        "doc_id", F.explode(_shingles_expr()).alias("s")
+    ).select(
+        "doc_id", F.pmod(_hash60(F.col("s")), F.lit(_MH_PRIME)).alias("h")
+    )
+    sigs = hs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(_MH_A[j]) * F.col("h") + F.lit(_MH_B[j]), F.lit(_MH_PRIME))
+            ).alias(f"mh{j}")
+            for j in range(_MINHASH_PERMS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"mh{j}") for j in range(_MINHASH_PERMS)]).alias("sig")
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf, bands: int = _LSH_BANDS):
-    docs = load(spark, sf, "documents")
+    # candidate pairs come from a groupBy(band_key) + in-group pair
+    # expansion, NOT a self-join: a self-join would execute the signature
+    # pipeline twice (Spark cannot reuse an exchange into a broadcast), and
+    # band-collision groups are small by construction so the in-group
+    # expansion is bounded.
     rows_per_band = _MINHASH_PERMS // bands
-    sigs = docs.select("doc_id", F.array(*_minhash_sig_cols()).alias("sig"))
+    sigs = _minhash_sigs_df(spark, sf)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -287,17 +303,25 @@ def q_minhash_lsh_pairs(spark, sf, bands: int = _LSH_BANDS):
             )
         ).alias("band", "band_sig"),
     ).withColumn("band_key", F.concat_ws("_", F.col("band"), F.concat_ws(",", "band_sig")))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    grouped = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ids"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 def _sql_minhash_pairs(bands: int = _LSH_BANDS) -> str:
@@ -403,37 +427,55 @@ def _simhash_bands_df(spark, sf, bands: int):
 def q_simhash_near_pairs(spark, sf, bands: int = _SIMHASH_BANDS):
     # `bands` bands of 64/bands bits: any pair within hamming <= bands-1 of
     # 64 bits must collide on at least one band (pigeonhole) — recall is
-    # guaranteed for the hamming<=3 cut whenever bands >= 4.
+    # guaranteed for the hamming<=3 cut whenever bands >= 4. Pairs come from
+    # a groupBy(band, band_val) + in-group expansion (see minhash note: a
+    # self-join would run the signature pipeline twice).
     sigs = _simhash_bands_df(spark, sf, bands)
     banded = sigs.select(
         "doc_id",
         "bands",
         F.posexplode("bands").alias("band", "band_val"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    hamming = sum(
-        F.bit_count(
-            F.element_at(F.col("a.bands"), i + 1).bitwiseXOR(
-                F.element_at(F.col("b.bands"), i + 1)
+    grouped = (
+        banded.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "bands"))).alias(
+                "members"
             )
         )
-        for i in range(bands)
+        .filter(F.size("members") >= 2)
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def pair_struct(a, b):
+        hamming = sum(
+            F.bit_count(
+                F.element_at(a["bands"], i + 1).bitwiseXOR(
+                    F.element_at(b["bands"], i + 1)
+                )
+            )
+            for i in range(bands)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        return F.struct(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
-    )
+
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a: F.transform(
+                        F.filter(
+                            F.col("members"), lambda b: b["doc_id"] > a["doc_id"]
+                        ),
+                        lambda b: pair_struct(a, b),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_a"), F.col("p.doc_b"), F.col("p.hamming")).distinct()
     return pairs.filter(F.col("hamming") <= 3)
 
 

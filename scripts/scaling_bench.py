@@ -9,13 +9,26 @@ job runs at two parallelism levels on the same input, in fresh subprocesses
   VM's shared resources, which a multi-machine 4N cluster never shares.
 * **local[8] → local[32]** — the whole-box stress point.
 
-The sandbox VM is itself noisy (host-level contention comes and goes and has
-been measured to inflate identical runs 2-3×), so every configuration runs
-REPS times **interleaved** and the best run per configuration is kept — the
-standard noisy-host methodology. A pure-Python CPU burn additionally measures
-the box's *intrinsic* parallel-scaling ceiling at each pair: Spark cannot
-scale better than the hardware it runs on, so the honest quantity is raw
-Spark efficiency alongside the machine ceiling and their ratio.
+Measurement policy (bias-free stopping):
+
+* every pair configuration collects up to ``TARGET_FAIR_PAIRS`` FAIR
+  attempt-pairs for the CURRENT code revision; the stop criterion is the
+  *count* of fair pairs, never their efficiency value, so the sample is not
+  conditioned on the ≥0.8 target;
+* an attempt is FAIR solely by its runs' OWN execution metrics (core
+  utilization and flat CPU/URL across the two runs) — the sandbox VM's
+  available CPU flaps 2-4× on minute timescales and unfair windows must be
+  excluded, but fairness is independent of the measured efficiency;
+* the headline is the MEDIAN fair-pair efficiency (all fair-pair
+  efficiencies are listed); efficiency is always computed within one
+  attempt's back-to-back (N, 4N) runs, never across attempts;
+* history lines carry the git revision; stats only pool runs of the same
+  revision (older revisions measured a different engine).
+
+A pure-Python CPU burn additionally measures the box's *intrinsic* parallel
+scaling ceiling at each pair: Spark cannot scale better than the hardware it
+runs on, so raw Spark efficiency is reported alongside the machine ceiling
+and their ratio.
 
 Writes BENCH/BASELINE.md. Usage: python scripts/scaling_bench.py [sf_dir]
 """
@@ -26,6 +39,7 @@ import datetime
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -35,7 +49,22 @@ REPO = Path(__file__).resolve().parent.parent
 
 PAIR_SMALL = (2, 8, 16000)  # (N cores, 4N cores, crawl corpus pages)
 PAIR_LARGE = (8, 32, 16000)
-REPS = 6  # max attempts per pair; stops early on a fast-window attempt
+REPS = 6  # max attempts per pair per invocation
+TARGET_FAIR_PAIRS = 3  # stop on COUNT of fair pairs (never on their value)
+SUITE_RUNS = 3  # operator suite repetitions; per-query MEDIAN is reported
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=str(REPO), check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
+REV = _git_rev()
 
 
 # -- machine ceiling ----------------------------------------------------------
@@ -80,6 +109,7 @@ def run_crawl(cpus: int, pages: int) -> dict:
     r = json.loads(line[len("CRAWL "):])
     r["ts"] = time.time()
     r["pages"] = pages
+    r["rev"] = REV
     return r
 
 
@@ -94,6 +124,70 @@ def run_full_bench(cpus: int, sf_dir: str) -> dict:
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def pair_fair(r_n, r_4n, four_n_):
+    u_n, u_4n = r_n.get("utilization"), r_4n.get("utilization")
+    c_n, c_4n = r_n.get("cpu_per_url_ms"), r_4n.get("cpu_per_url_ms")
+    if None in (u_n, u_4n, c_n, c_4n):
+        return False
+    # pair-1 (≤8 cores): the box exposes independent cores — strict.
+    # pair-2 (32 cores): even a zero-shared-state CPU burn pays ~1.4×
+    # per-core here (see ceiling), so the gate only excludes true stalls.
+    if four_n_ <= 8:
+        return min(u_n, u_4n) >= 0.85 and max(c_n, c_4n) / min(c_n, c_4n) <= 1.5
+    return min(u_n, u_4n) >= 0.55 and max(c_n, c_4n) / min(c_n, c_4n) <= 2.2
+
+
+def burn_fairness(n_, four_n_, iters=6_000_000):
+    walls = {}
+    for procs in (n_, four_n_):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_burn, [iters] * procs)
+            walls[procs] = time.time() - t0
+    return (four_n_ * iters / walls[four_n_]) / (n_ * iters / walls[n_]) / (
+        four_n_ / n_
+    )
+
+
+HIST = REPO / "BENCH" / "runs.jsonl"
+
+
+def load_history():
+    rows = []
+    if HIST.exists():
+        for line in HIST.read_text().splitlines():
+            try:
+                rows.append(json.loads(line))
+            except ValueError:
+                continue
+    return rows
+
+
+def collect_pairs(pair, rev=None):
+    """All attempt-pairs for a configuration (optionally one revision),
+    scored with fairness and within-attempt efficiency."""
+    n, four_n, pages = pair
+    by_pid: dict = {}
+    for r in load_history():
+        if r.get("pages") != pages or r.get("cpus") not in (n, four_n):
+            continue
+        if rev is not None and r.get("rev") != rev:
+            continue
+        if r.get("pair_id"):
+            by_pid.setdefault(r["pair_id"], {})[r["cpus"]] = r
+    scored = []
+    for d in by_pid.values():
+        if n in d and four_n in d:
+            scored.append({
+                "n": d[n], "4n": d[four_n],
+                "fair": pair_fair(d[n], d[four_n], four_n),
+                "eff": round(
+                    (d[four_n]["urls_per_sec"] / d[n]["urls_per_sec"])
+                    / (four_n / n), 4),
+            })
+    return scored
 
 
 def main() -> None:
@@ -119,68 +213,19 @@ def main() -> None:
         ceiling_file.parent.mkdir(exist_ok=True)
         ceiling_file.write_text(json.dumps(ceiling))
 
-    # This VM's host weather flaps on minute timescales between uniform
-    # per-core slowdown (fair — ratios stay meaningful) and capped/stalling
-    # phases (unfair — 4N gains nothing whatever the plan does). A pair
-    # attempt is judged FAIR by its runs' OWN execution metrics: cores kept
-    # busy (utilization) and no hypervisor CPU-billing inflation (flat
-    # CPU/URL across the pair) — stalled runs measured here show util
-    # 0.4-0.6 and 3-4x CPU/URL, so both signals separate cleanly. A quick
-    # multiprocess burn acts only as a cheap pre-gate before launching a
-    # pair; efficiency is always computed within one attempt's two runs,
-    # never across attempts.
-    HIST = REPO / "BENCH" / "runs.jsonl"
-
-    def pair_fair(r_n, r_4n, four_n_):
-        u_n, u_4n = r_n.get("utilization"), r_4n.get("utilization")
-        c_n, c_4n = r_n.get("cpu_per_url_ms"), r_4n.get("cpu_per_url_ms")
-        if None in (u_n, u_4n, c_n, c_4n):
-            return False
-        # pair-1 (≤8 cores): the box exposes independent cores — strict.
-        # pair-2 (32 cores): even a zero-shared-state CPU burn pays ~1.4×
-        # per-core here (see ceiling), so the gate only excludes true
-        # stalls (measured stalls: util 0.4-0.6 with 3-4× CPU/URL).
-        if four_n_ <= 8:
-            return min(u_n, u_4n) >= 0.85 and max(c_n, c_4n) / min(c_n, c_4n) <= 1.5
-        return min(u_n, u_4n) >= 0.55 and max(c_n, c_4n) / min(c_n, c_4n) <= 2.2
-
-    def burn_fairness(n_, four_n_, iters=6_000_000):
-        walls = {}
-        for procs in (n_, four_n_):
-            with mp.Pool(procs) as pool:
-                t0 = time.time()
-                pool.map(_burn, [iters] * procs)
-                walls[procs] = time.time() - t0
-        return (four_n_ * iters / walls[four_n_]) / (n_ * iters / walls[n_]) / (
-            four_n_ / n_
-        )
-
-    def _has_satisfactory_fair(n, four_n, pages):
-        """A fair pair with eff >= 0.8 already in history? Then skip re-running."""
-        if not HIST.exists():
-            return False
-        by_pid: dict = {}
-        for line in HIST.read_text().splitlines():
-            try:
-                r = json.loads(line)
-            except ValueError:
-                continue
-            if r.get("pages") == pages and r.get("pair_id"):
-                by_pid.setdefault(r["pair_id"], {})[r.get("cpus")] = r
-        for d in by_pid.values():
-            if n in d and four_n in d and pair_fair(d[n], d[four_n], four_n):
-                eff_ = (d[four_n]["urls_per_sec"] / d[n]["urls_per_sec"]) / (four_n / n)
-                if eff_ >= 0.8:
-                    return True
-        return False
-
+    # A pair attempt is judged FAIR by its runs' OWN execution metrics (see
+    # module docstring); a quick multiprocess burn acts only as a cheap
+    # pre-gate before launching a pair. The attempt loop stops when
+    # TARGET_FAIR_PAIRS fair pairs exist for this revision — a stop
+    # criterion independent of any efficiency threshold.
     for n, four_n, pages in () if report_only else (PAIR_SMALL, PAIR_LARGE):
         gate = 0.85 if four_n <= 8 else 0.66
-        if _has_satisfactory_fair(n, four_n, pages):
-            print(f"pair {n}->{four_n}: satisfactory fair measurement in "
-                  "history — skipping", flush=True)
-            continue
         for attempt in range(REPS):
+            n_fair = sum(1 for p in collect_pairs((n, four_n, pages), REV) if p["fair"])
+            if n_fair >= TARGET_FAIR_PAIRS:
+                print(f"pair {n}->{four_n}: {n_fair} fair pairs at rev {REV} "
+                      "— sample complete", flush=True)
+                break
             f_before = burn_fairness(n, four_n)
             if f_before < gate:
                 print(f"attempt {attempt}: burn fairness {f_before:.2f} < "
@@ -202,71 +247,35 @@ def main() -> None:
                 with HIST.open("a") as f:
                     f.write(json.dumps(r) + "\n")
                 print(json.dumps(r), flush=True)
-            if fair:
-                break  # pair measured inside one fair window
 
-    # -- pair selection over the FULL history (evidence accumulates) --------
-
-    def load_history():
-        rows = []
-        if HIST.exists():
-            for line in HIST.read_text().splitlines():
-                try:
-                    rows.append(json.loads(line))
-                except ValueError:
-                    continue
-        return rows
+    # -- pair selection: MEDIAN fair pair of the current revision -----------
 
     def select_pair(pair):
-        n, four_n, pages = pair
-        rows = [
-            r for r in load_history()
-            if r.get("pages") == pages and r.get("cpus") in (n, four_n)
-        ]
-        rows.sort(key=lambda r: r.get("ts", 0))
-        raw_pairs = []
-        by_pid: dict = {}
-        prev = None
-        for r in rows:
-            pid = r.get("pair_id")
-            if pid:
-                by_pid.setdefault(pid, {})[r["cpus"]] = r
-                prev = None
-            elif r["cpus"] == n:
-                prev = r
-            elif (
-                r["cpus"] == four_n and prev is not None
-                and 0 < r.get("ts", 0) - prev.get("ts", 0) < 900
-            ):
-                raw_pairs.append((prev, r))  # ts-adjacent legacy pair
-                prev = None
-        for d in by_pid.values():
-            if n in d and four_n in d:
-                raw_pairs.append((d[n], d[four_n]))
-        scored = []
-        for a, b in raw_pairs:
-            scored.append({
-                "n": a, "4n": b,
-                "fair": pair_fair(a, b, four_n),
-                "eff": round((b["urls_per_sec"] / a["urls_per_sec"]) / (four_n / n), 4),
-            })
-        fair_pairs = sorted(
-            (p for p in scored if p["fair"]),
-            key=lambda p: p["4n"]["urls_per_sec"], reverse=True,
-        )
-        pool = fair_pairs or sorted(
-            scored, key=lambda p: p["4n"]["urls_per_sec"], reverse=True
-        )
-        return (pool[0] if pool else None), fair_pairs
+        for rev in (REV, None):  # same-rev pairs preferred; legacy fallback
+            scored = collect_pairs(pair, rev)
+            fair_pairs = sorted(
+                (p for p in scored if p["fair"]), key=lambda p: p["eff"]
+            )
+            if fair_pairs:
+                return fair_pairs[(len(fair_pairs) - 1) // 2], fair_pairs
+            if scored and rev is None:
+                scored.sort(key=lambda p: p["eff"])
+                return scored[(len(scored) - 1) // 2], []
+        return None, []
 
     def eff(pair):
         n, four_n, pages = pair
-        bestp, fair_pairs = select_pair(pair)
-        r_n, r_4n = bestp["n"], bestp["4n"]
+        med, fair_pairs = select_pair(pair)
+        r_n, r_4n = med["n"], med["4n"]
+        med_eff = (
+            round(statistics.median(p["eff"] for p in fair_pairs), 4)
+            if fair_pairs
+            else med["eff"]
+        )
         ceil = (ceiling[four_n] / ceiling[n]) / (four_n / n)
         return (
-            r_n, r_4n, bestp["eff"], round(ceil, 4),
-            round(bestp["eff"] / ceil, 4), fair_pairs,
+            r_n, r_4n, med_eff, round(ceil, 4),
+            round(med_eff / ceil, 4), fair_pairs,
         )
 
     s_n, s_4n, eff_s, ceil_s, norm_s, fair_s = eff(PAIR_SMALL)
@@ -289,28 +298,74 @@ def main() -> None:
     fair_s_txt = ", ".join(f"{p['eff']}" for p in fair_s) or "none yet"
     fair_l_txt = ", ".join(f"{p['eff']}" for p in fair_l) or "none yet"
 
+    # measured prose figures — interpolated from the selected runs, never
+    # hardcoded (they would silently go stale on regeneration)
+    def _rng(vals, fmt="{:.2f}"):
+        vals = [v for v in vals if isinstance(v, (int, float))]
+        if not vals:
+            return "n/a"
+        lo, hi = min(vals), max(vals)
+        return fmt.format(lo) if lo == hi else f"{fmt.format(lo)}-{fmt.format(hi)}"
+
+    # 8-core runs appear as 4N in pair 1 and as N in pair 2
+    eight_core_runs = [p["4n"] for p in fair_s] + [p["n"] for p in fair_l]
+    util_8 = _rng([r.get("utilization") for r in eight_core_runs])
+    cpu_8 = _rng([r.get("cpu_per_url_ms") for r in eight_core_runs], "{:.0f}")
+    unfair = [
+        p for p in collect_pairs(PAIR_LARGE) if not p["fair"]
+    ]
+    if unfair:
+        stall_util = _rng([p["4n"].get("utilization") for p in unfair])
+        stall_cpu = _rng(
+            [
+                p["4n"].get("cpu_per_url_ms", 0) / max(p["n"].get("cpu_per_url_ms", 1), 1)
+                for p in unfair
+            ],
+            "{:.1f}",
+        )
+        stall_txt = (f"Excluded (unfair) 32-core attempts measured here show "
+                     f"util {stall_util} and {stall_cpu}× CPU/URL inflation "
+                     "(hypervisor time-slicing bills vCPU time without real "
+                     "work), which marks the wall-clock loss as machine-, "
+                     "not plan-, bound.")
+    else:
+        stall_txt = ("No unfair window was observed in this revision's "
+                     "attempts; the exclusion rule exists for the degraded "
+                     "phases this VM is documented to enter.")
+
     suite_file = REPO / "BENCH" / "suite.json"
     if report_only and suite_file.exists():
         suite = json.loads(suite_file.read_text())
     else:
-        print("operator suite at local[32] ...", flush=True)
-        suite = run_full_bench(32, sf_dir)
+        print(f"operator suite at local[32] × {SUITE_RUNS} ...", flush=True)
+        suite_runs = [run_full_bench(32, sf_dir) for _ in range(SUITE_RUNS)]
+        suite = dict(suite_runs[-1])  # shape/metadata from the last run
+        suite["queries"] = {
+            name: round(statistics.median(s["queries"][name] for s in suite_runs), 3)
+            for name in suite_runs[0]["queries"]
+        }
+        suite["urls_per_sec"] = round(
+            statistics.median(s["urls_per_sec"] for s in suite_runs), 2
+        )
+        suite["runs"] = SUITE_RUNS
+        suite["all_urls_per_sec"] = [s["urls_per_sec"] for s in suite_runs]
         suite_file.write_text(json.dumps(suite))
 
     md = f"""# BENCH / BASELINE — measured results
 
-Generated {datetime.datetime.utcnow().isoformat()}Z by scripts/scaling_bench.py.
+Generated {datetime.datetime.utcnow().isoformat()}Z by scripts/scaling_bench.py
+at code revision {REV}.
 Input: deterministic synthetic Trustpilot-style pages corpus, committed once
 as an uncompressed Parquet pages table (Iceberg-style; fixture-realistic
 ~270 KB/page: 25 review cards + tag-soup ballast) + driver tables at
-`{sf_dir}`. Identical committed input within each pair; fresh JVM per run;
-efficiency always computed within ONE attempt's back-to-back (N, 4N) runs
-— never across attempts — and an attempt kept as FAIR only when both runs'
-own metrics (core utilization, flat CPU/URL) show the host behaved (this
-sandbox VM's available CPU flaps 2-4× on minute timescales; stalled runs
-show util 0.4-0.6 and 3-4× CPU/URL inflation and are excluded). The best
-fair pair by 4N throughput is reported; all fair-pair efficiencies are
-listed for transparency.
+`{sf_dir}`. Identical committed input within each pair; fresh JVM per run.
+Efficiency is always computed within ONE attempt's back-to-back (N, 4N) runs
+— never across attempts. Attempts are kept as FAIR only when both runs' own
+metrics (core utilization, flat CPU/URL) show the host behaved (this sandbox
+VM's available CPU flaps 2-4× on minute timescales); fairness never looks at
+the efficiency value. Sampling stops at {TARGET_FAIR_PAIRS} fair pairs per
+configuration — a count, not a threshold — and the headline below is the
+MEDIAN fair-pair efficiency with every fair pair listed.
 Correctness gate: `python -m pytest -x -q` (byte-identical extraction vs
 fakepilot fixtures; crawl ordering + URL-seen vs the single-threaded oracle).
 
@@ -318,30 +373,34 @@ fakepilot fixtures; crawl ordering + URL-seen vs the single-threaded oracle).
 
 ### Pair 1 — local[2] → local[8] (faithful proxy for independent executors)
 
+Median fair pair shown; all fair-pair efficiencies: {fair_s_txt}.
+
 | parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec | core utilization | CPU ms/URL |
 |---|---|---|---|---|---|---|
 | local[2] (N) | {PAIR_SMALL[2]} pages | {s_n["urls_fetched"]} | {s_n["wall_sec"]} | {s_n["urls_per_sec"]} | {s_n.get("utilization", "—")} | {s_n.get("cpu_per_url_ms", "—")} |
 | local[8] (4N) | {PAIR_SMALL[2]} pages | {s_4n["urls_fetched"]} | {s_4n["wall_sec"]} | {s_4n["urls_per_sec"]} | {s_4n.get("utilization", "—")} | {s_4n.get("cpu_per_url_ms", "—")} |
 
-**Scaling efficiency = {eff_s}** (target ≥ 0.8). Machine ceiling at this
-pair (pure-Python CPU burn, no Spark): {ceil_s}; Spark/ceiling = {norm_s}.
-All fair-pair efficiencies observed: {fair_s_txt}. Efficiency factorization
+**Median scaling efficiency = {eff_s}** (target ≥ 0.8). Machine ceiling at
+this pair (pure-Python CPU burn, no Spark): {ceil_s}; Spark/ceiling =
+{norm_s}. Efficiency factorization of the median pair
 (keep-busy × per-core-cost): {s_u} × {s_c}. Host-speed probes
 (single-core Mops, before/after the kept runs):
 local[2] {s_n.get("probe_mops")}, local[8] {s_4n.get("probe_mops")}.
 
 ### Pair 2 — local[8] → local[32] (whole-box stress point)
 
+Median fair pair shown; all fair-pair efficiencies: {fair_l_txt}.
+
 | parallelism | corpus | URLs fetched+extracted | crawl wall (s) | URLs/sec | core utilization | CPU ms/URL |
 |---|---|---|---|---|---|---|
 | local[8] (N) | {PAIR_LARGE[2]} pages | {l_n["urls_fetched"]} | {l_n["wall_sec"]} | {l_n["urls_per_sec"]} | {l_n.get("utilization", "—")} | {l_n.get("cpu_per_url_ms", "—")} |
 | local[32] (4N) | {PAIR_LARGE[2]} pages | {l_4n["urls_fetched"]} | {l_4n["wall_sec"]} | {l_4n["urls_per_sec"]} | {l_4n.get("utilization", "—")} | {l_4n.get("cpu_per_url_ms", "—")} |
 
-**Scaling efficiency = {eff_l}.** Machine ceiling at this pair = {ceil_l}
-(this box does not give 32 independent cores to ANY workload — a pure-Python
-CPU burn with zero shared state loses the same fraction); Spark/ceiling =
-{norm_l}. All fair-pair efficiencies observed: {fair_l_txt}.
-Exact factorization of the kept pair's efficiency — eff ≡
+**Median scaling efficiency = {eff_l}.** Machine ceiling at this pair =
+{ceil_l} (this box does not give 32 independent cores to ANY workload — a
+pure-Python CPU burn with zero shared state loses the same fraction);
+Spark/ceiling = {norm_l}.
+Exact factorization of the median pair's efficiency — eff ≡
 (util_4N/util_N) × (CPU/URL_N ÷ CPU/URL_4N) = {l_u} × {l_c}: the second
 factor is the machine's per-core inflation at 32 runnable cores (compare
 the burn ceiling), the first is the keep-busy gap (stage tails + per-epoch
@@ -353,26 +412,25 @@ local[32] {l_4n.get("probe_mops")}.
 
 **Core utilization** (Δcpu of the whole Spark process tree / (wall × cores),
 procfs-accounted) is the host-weather-independent scaling evidence: a capped
-or slowed host lowers URLs/sec but cannot fake kept-busy cores. Measured
-8-core runs hold 0.92-0.98 utilization at stable ~45 ms CPU/URL across
-attempts — the plan exposes enough parallel work to keep 4N executors busy.
-During degraded-host windows the 32-core runs show CPU ms/URL inflating 3-4×
-(hypervisor time-slicing bills vCPU time without real work), which marks the
-wall-clock loss as machine-, not plan-, bound.
+or slowed host lowers URLs/sec but cannot fake kept-busy cores. The kept
+8-core runs hold {util_8} utilization at {cpu_8} ms CPU/URL — the plan
+exposes enough parallel work to keep 4N executors busy. {stall_txt}
 
 The plan has no serial section that grows with cluster size: the fetch join
-broadcasts only URLs (page bytes never shuffle), extraction runs on scan
-partitions, sketches merge tree-wise, and all per-epoch bookkeeping is a few
-sub-second jobs over committed parquet. Pair 1, which is the regime where
-the VM actually exposes independent cores, is the faithful N→4N proxy; the
-pair-2 raw number is bounded by the box's own ceiling above, not by the
-plan — on a real 4N-executor cluster each executor brings its own memory
-bus and cores.
+broadcasts only URLs (page bytes never shuffle) and prunes its scan to the
+batch's url-hash buckets, extraction runs on scan partitions, bloom
+fragments tree-merge while cuckoo state merges per-pid in a distributed
+groupBy, and all per-epoch bookkeeping is a few sub-second jobs over
+committed parquet. Pair 1, which is the regime where the VM actually exposes
+independent cores, is the faithful N→4N proxy; the pair-2 raw number is
+bounded by the box's own ceiling above, not by the plan — on a real
+4N-executor cluster each executor brings its own memory bus and cores.
 
 ## Operator suite wall times at local[32] (seconds)
 
-Per-query best across suite runs (same best-of-interleaved methodology as
-the pairs; the driver's own per-round bench run is single-shot).
+Per-query MEDIAN of {suite.get("runs", 1)} suite runs (each run a fresh
+process; the driver's own per-round bench run is single-shot, so compare it
+against these medians plus the host-weather spread).
 
 | query | wall (s) |
 |---|---|
@@ -380,8 +438,10 @@ the pairs; the driver's own per-round bench run is single-shot).
     for name, secs in suite["queries"].items():
         md += f"| {name} | {secs} |\n"
     md += f"""
-Crawl headline inside the suite run: {suite["urls_per_sec"]} URLs/sec
-({suite["urls_fetched"]} URLs, sf={suite["sf"]}).
+Crawl headline inside the suite runs: median {suite["urls_per_sec"]}
+URLs/sec across {suite.get("runs", 1)} runs
+(all: {suite.get("all_urls_per_sec", [suite["urls_per_sec"]])};
+{suite["urls_fetched"]} URLs, sf={suite["sf"]}).
 
 ## Reference baseline
 
