@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "simhash_near_pairs",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
+    "embedding_near_dup_pairs",
+    "media_feature_profile",
+    "stream_user_totals",
     "extract_synth_companies",
     "extract_synth_reviews",
     "frontier_topk_drain",

@@ -16,7 +16,7 @@ Both operate on pre-computed unsigned 64-bit key hashes — at scale those are
 produced JVM-side by ``xxhash64(url)`` so Python never touches raw URLs.
 
 Merge for both is associative and commutative over disjoint (or identical)
-key sets — the precondition ``treeAggregate`` needs; property-tested in
+key sets — the precondition any tree/partition-wise merge needs; property-tested in
 tests/test_sketches.py with hypothesis.
 """
 
