@@ -5,10 +5,12 @@ sf0.001 ``documents`` table (native exprs), run the vectorized extraction
 pipeline, return the extracted companies DataFrame.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 (relational, text/dedup, similarity, frontier, extraction);
-oracles are DuckDB SQL over the pre-registered views. Sketch-based and
-real-page-extraction queries intentionally omit oracles (rows-only check per
-contract); their value-level gates live in tests/.
+SURVEY.md §2 (relational, text/dedup, similarity, frontier, extraction,
+streaming); EVERY query has a DuckDB oracle: SQL-expressible operators
+arithmetically over the pre-registered views, the two real-page extraction
+queries via VALUES literals computed through the pure-Python parse path
+(itself byte-identity-gated against the reference's valid_data.json in
+tests/test_golden_extraction.py).
 """
 
 from __future__ import annotations

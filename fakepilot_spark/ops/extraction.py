@@ -8,8 +8,9 @@ every extracted value **arithmetically** — no HTML involved. A parser or
 extractor regression breaks the value-hash immediately.
 
 ``extract_fixture_*`` run the same pipeline over the 17 real Trustpilot
-fixture pages (rows-only driver check; the full value gate for those lives in
-tests/test_spark_extraction.py against valid_data.json).
+fixture pages, value-gated at the driver by VALUES oracles computed through
+the pure-Python parse path (see the fixture-oracle note below) and in pytest
+by tests/test_spark_extraction.py against valid_data.json.
 """
 
 from __future__ import annotations
@@ -150,11 +151,94 @@ QUERIES = {
     "extract_fixture_reviews": q_extract_fixture_reviews,
 }
 
+# --------------------------------------------------------------------------
+# Fixture VALUES oracles: real-page HTML extraction has no SQL equivalent,
+# but the expected rows do — they are computed through the PURE-PYTHON
+# parse+fields path (no Spark, no Arrow, no UDF plumbing), which is itself
+# byte-identity-gated against the reference's own valid_data.json
+# (tests/test_golden_extraction.py). The driver's hash compare of the Spark
+# pipeline against these literals therefore value-checks the whole
+# JVM/Arrow/pandas-UDF data path against an independently-gated
+# implementation of the same semantics.
+# --------------------------------------------------------------------------
+
+
+def _sql_lit(v) -> str:
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _fixture_expected():
+    """(company_rows, review_rows) via the pure-Python extraction path, in
+    the exact column order of the two fixture queries."""
+    import zipfile
+
+    from ..extract.fields import company_record, review_records
+    from ..htmlmini import parse
+    from ..sources import FIXTURE_ZIP, fixture_url
+
+    companies, reviews = [], []
+    with zipfile.ZipFile(FIXTURE_ZIP) as zf:
+        for info in sorted(zf.infolist(), key=lambda i: i.filename):
+            dom = parse(zf.read(info.filename))
+            url = fixture_url(info.filename)
+            c = company_record(dom)
+            companies.append(
+                (url, c["name"], c["nreviews"], c["score"], c["email"],
+                 c["is_claimed"])
+            )
+            for i, r in enumerate(review_records(dom, 100)):
+                reviews.append(
+                    (url, i, r["author_name"], r["star_rating"], r["content"],
+                     r["date"])
+                )
+    return companies, reviews
+
+
+def _values_sql(rows, cols, types) -> str:
+    typed = ", ".join(
+        f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
+    )
+    values = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+    return (
+        f"SELECT {typed} FROM (VALUES\n{values}\n) AS t({', '.join(cols)})"
+    )
+
+
+def _sql_fixture_companies() -> str:
+    companies, _ = _fixture_expected()
+    return _values_sql(
+        companies,
+        ["url", "name", "nreviews", "score", "email", "is_claimed"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN"],
+    )
+
+
+def _sql_fixture_reviews() -> str:
+    _, reviews = _fixture_expected()
+    return _values_sql(
+        reviews,
+        ["url", "i", "author_name", "star_rating", "content", "review_date"],
+        ["VARCHAR", "INTEGER", "VARCHAR", "DOUBLE", "VARCHAR", "TIMESTAMP"],
+    )
+
+
 ORACLES = {
     "extract_synth_companies": _SQL_SYNTH_COMPANIES,
     "extract_synth_reviews": _SQL_SYNTH_REVIEWS,
-    # extract_fixture_*: real-page extraction is not SQL-expressible →
-    # rows-only check here; full value gate in tests/test_spark_extraction.py.
+    "extract_fixture_companies": _sql_fixture_companies(),
+    "extract_fixture_reviews": _sql_fixture_reviews(),
 }
 
 

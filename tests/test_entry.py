@@ -21,14 +21,10 @@ def test_registry_consistent():
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
     # rows-only (oracle-less) entries are the documented sketch/extraction set
-    # only the real-page extraction queries remain oracle-less (HTML parsing
-    # has no SQL equivalent; they are byte-identity-gated against the
-    # reference fixtures in tests/test_golden_extraction.py instead)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "extract_fixture_companies",
-        "extract_fixture_reviews",
-    }
+    # every query is oracle-gated: SQL-expressible ops arithmetically, the
+    # real-page extraction queries via VALUES literals computed through the
+    # independently golden-gated pure-Python path
+    assert set(oracles) == set(qs)
 
 
 def test_entry_smoke(spark):
