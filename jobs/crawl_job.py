@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--default-budget", type=int, default=16)
     ap.add_argument("--nreviews", type=int, default=20)
     ap.add_argument("--no-sketches", action="store_true")
+    ap.add_argument(
+        "--pages-buckets", type=int, default=0,
+        help="pages table is partitioned by pbucket=pmod(xxhash64(url), B): "
+             "prune each epoch's fetch scan to the batch's buckets",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -61,6 +66,8 @@ def main() -> None:
         default_budget=args.default_budget,
         nreviews=args.nreviews,
         use_sketches=not args.no_sketches,
+        pages_path=args.pages if args.pages_buckets else None,
+        pages_buckets=args.pages_buckets or None,
     )
     summary = CrawlEngine(spark, pages, cfg).run()
     print(json.dumps(summary))
