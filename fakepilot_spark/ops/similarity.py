@@ -18,6 +18,11 @@ import pyspark.sql.functions as F
 from . import load
 
 _DIMS = 64
+# Scale note: 2^_PLANES buckets must grow with corpus size — at 10^9+
+# vectors use 16-20 planes (65k-1M buckets) so within-bucket rerank stays
+# subquadratic; 8 planes (256 buckets) is sized for the test corpus. The
+# SQL oracle below is generated from the same constant so both engines
+# always agree.
 _PLANES = 8
 
 
@@ -163,9 +168,9 @@ def q_embedding_lsh_buckets(spark, sf):
     )
 
 
-_SQL_BUCKET_EXPR = """
-         CAST(list_sum(list_transform(range(0, 8), j ->
-           CASE WHEN list_sum(list_transform(range(0, 64), d ->
+_SQL_BUCKET_EXPR = f"""
+         CAST(list_sum(list_transform(range(0, {_PLANES}), j ->
+           CASE WHEN list_sum(list_transform(range(0, {_DIMS}), d ->
                   CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
                   (CASE WHEN ((d + 3) * ((1 + j) * 2654435761)) % 97 % 2 = 0
                         THEN 1 ELSE -1 END))) > 0

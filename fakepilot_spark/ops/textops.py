@@ -160,6 +160,14 @@ FROM documents
 
 
 def q_ngram_jaccard_pairs(spark, sf):
+    # Deliberately a token-postings JOIN, not the groupBy + in-group pair
+    # expansion the LSH queries use: high-df tokens (stopwords) would
+    # materialize df² pair structs inside single rows under the expansion
+    # (measured 2× slower and memory-hostile), while the join streams
+    # candidate pairs into an immediate aggregate. The token explode it
+    # duplicates is a cheap split (no hashing). Candidate volume is
+    # O(Σ df²) either way — this is the documented naive oracle anchor;
+    # MinHash-LSH is the scale path.
     docs = load(spark, sf, "documents")
     toks = docs.select(
         "doc_id",

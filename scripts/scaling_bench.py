@@ -101,8 +101,17 @@ def run_crawl(cpus: int, pages: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CRAWL_PAGES"] = str(pages)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # CPU-pin the whole run (JVM + Python workers) to exactly `cpus` cores:
+    # local[N] must emulate an N-core executor. Unpinned, the JVM's service
+    # threads (GC, shuffle netty) overdraw ~20% extra CPU beside local[2]'s
+    # two task slots (measured utilization 1.20), inflating the N-side
+    # baseline and understating N→4N scaling; a real N-core executor has
+    # nowhere to overdraw from.
+    cmd = [sys.executable, str(REPO / "scripts" / "crawl_only.py"), str(cpus)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "crawl_only.py"), str(cpus)],
+        cmd,
         capture_output=True, text=True, env=env, cwd=str(REPO), check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("CRAWL ")][-1]
@@ -358,7 +367,11 @@ at code revision {REV}.
 Input: deterministic synthetic Trustpilot-style pages corpus, committed once
 as an uncompressed Parquet pages table (Iceberg-style; fixture-realistic
 ~270 KB/page: 25 review cards + tag-soup ballast) + driver tables at
-`{sf_dir}`. Identical committed input within each pair; fresh JVM per run.
+`{sf_dir}`. Identical committed input within each pair; fresh JVM per run;
+every run CPU-pinned (`taskset`) to exactly its N cores so local[N]
+emulates an N-core executor — unpinned, JVM service threads beside local[2]
+overdraw ~20% extra CPU (measured utilization 1.20 vs 1.01 at local[8]),
+which understates N→4N scaling relative to real per-executor machines.
 Efficiency is always computed within ONE attempt's back-to-back (N, 4N) runs
 — never across attempts. Attempts are kept as FAIR only when both runs' own
 metrics (core utilization, flat CPU/URL) show the host behaved (this sandbox
