@@ -45,14 +45,17 @@ class HostProbe(threading.Thread):
         self._stop = threading.Event()
 
     def run(self) -> None:
-        n = 2_000_000
+        # ~1% duty cycle: the probe now runs INSIDE the run's pinned core
+        # set (scaling_bench pins each pair run), so it must stay tiny at
+        # local[2]
+        n = 1_000_000
         while not self._stop.is_set():
             x = 0
             t0 = time.time()
             for i in range(n):
                 x = (x * 48271 + i) % 2147483647
             self.samples.append(round(n / (time.time() - t0) / 1e6, 1))
-            self._stop.wait(5.0)
+            self._stop.wait(10.0)
 
     def stop(self) -> list:
         self._stop.set()

@@ -77,14 +77,25 @@ def _burn(n: int) -> int:
     return x
 
 
+def _pin_to(cores: int):
+    """Pool initializer: confine the worker to cores 0..cores-1 — the same
+    affinity mask the Spark pair runs get, so ceiling and runs measure the
+    same machine."""
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except OSError:
+        pass
+
+
 def cpu_ceiling(pairs, iters: int = 10_000_000, reps: int = 3) -> dict:
     """Intrinsic parallel-CPU scaling of this VM: total fixed work split
-    across P processes; throughput = work/wall. Best of ``reps``."""
+    across P processes PINNED to cores 0..P-1 (matching the pinned Spark
+    runs); throughput = work/wall. Best of ``reps``."""
     best = {}
     levels = sorted({c for p in pairs for c in p[:2]})
     for _ in range(reps):
         for procs in levels:
-            with mp.Pool(procs) as pool:
+            with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
                 t0 = time.time()
                 pool.map(_burn, [iters] * procs)
                 wall = time.time() - t0
@@ -151,7 +162,7 @@ def pair_fair(r_n, r_4n, four_n_):
 def burn_fairness(n_, four_n_, iters=6_000_000):
     walls = {}
     for procs in (n_, four_n_):
-        with mp.Pool(procs) as pool:
+        with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
             t0 = time.time()
             pool.map(_burn, [iters] * procs)
             walls[procs] = time.time() - t0
@@ -205,7 +216,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     report_only = "--report-only" in sys.argv
-    ceiling_file = REPO / "BENCH" / "ceiling.json"
+    # pinned ceilings are a different quantity than the old unpinned ones —
+    # fresh file so keep-best-ever never mixes methodologies
+    ceiling_file = REPO / "BENCH" / "ceiling_pinned.json"
     if report_only and ceiling_file.exists():
         ceiling = {int(k): v for k, v in json.loads(ceiling_file.read_text()).items()}
     else:
