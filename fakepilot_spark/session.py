@@ -65,6 +65,24 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # Scale JVM service threads with the task-slot count, like a real
+    # per-executor container does via cgroup-visible CPUs: an unconstrained
+    # local[2] JVM runs GC/JIT pools sized for the whole box and overdraws
+    # ~20% extra CPU beside its 2 task slots (measured), which both wastes
+    # host CPU and distorts any N-vs-4N comparison.
+    n_slots = None
+    m = master if cores is None else f"local[{cores}]"
+    if m.startswith("local[") and m[6:-1].isdigit():
+        n_slots = int(m[6:-1])
+    jvm_opts = "-Duser.timezone=UTC"
+    if n_slots:
+        gc_threads = max(n_slots, 1)
+        jvm_opts += (
+            f" -XX:ParallelGCThreads={gc_threads}"
+            f" -XX:ConcGCThreads={max(gc_threads // 2, 1)}"
+            f" -XX:CICompilerCount={max(min(n_slots, 4), 2)}"
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -75,7 +93,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         # Micro-batch epochs issue many small jobs: never idle a core waiting
         # for data locality that local/HDFS-cached inputs already have.

@@ -49,8 +49,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 PAIR_SMALL = (2, 8, 16000)  # (N cores, 4N cores, crawl corpus pages)
 PAIR_LARGE = (8, 32, 16000)
-REPS = 6  # max attempts per pair per invocation
-TARGET_FAIR_PAIRS = 3  # stop on COUNT of fair pairs (never on their value)
+REPS = 8  # max attempts per pair per invocation
+TARGET_FAIR_PAIRS = 5  # stop on COUNT of fair pairs (never on their value)
 SUITE_RUNS = 3  # operator suite repetitions; per-query MEDIAN is reported
 
 
@@ -77,25 +77,15 @@ def _burn(n: int) -> int:
     return x
 
 
-def _pin_to(cores: int):
-    """Pool initializer: confine the worker to cores 0..cores-1 — the same
-    affinity mask the Spark pair runs get, so ceiling and runs measure the
-    same machine."""
-    try:
-        os.sched_setaffinity(0, set(range(cores)))
-    except OSError:
-        pass
-
-
 def cpu_ceiling(pairs, iters: int = 10_000_000, reps: int = 3) -> dict:
     """Intrinsic parallel-CPU scaling of this VM: total fixed work split
-    across P processes PINNED to cores 0..P-1 (matching the pinned Spark
-    runs); throughput = work/wall. Best of ``reps``."""
+    across P processes (unpinned — see the pinning note in run_crawl);
+    throughput = work/wall. Best of ``reps``."""
     best = {}
     levels = sorted({c for p in pairs for c in p[:2]})
     for _ in range(reps):
         for procs in levels:
-            with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
+            with mp.Pool(procs) as pool:
                 t0 = time.time()
                 pool.map(_burn, [iters] * procs)
                 wall = time.time() - t0
@@ -112,15 +102,14 @@ def run_crawl(cpus: int, pages: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CRAWL_PAGES"] = str(pages)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
-    # CPU-pin the whole run (JVM + Python workers) to exactly `cpus` cores:
-    # local[N] must emulate an N-core executor. Unpinned, the JVM's service
-    # threads (GC, shuffle netty) overdraw ~20% extra CPU beside local[2]'s
-    # two task slots (measured utilization 1.20), inflating the N-side
-    # baseline and understating N→4N scaling; a real N-core executor has
-    # nowhere to overdraw from.
+    # NOT CPU-pinned: a taskset experiment (rev 4e3e7e9/b51e95a in
+    # runs.jsonl) showed this VM's low-numbered cores are systematically
+    # slower — pinned 2-core burns ran at ~70% of the per-core speed of
+    # 8-core ones, i.e. pinning ADDS bias rather than removing scheduler
+    # noise. The N-side JVM overdraw that motivated pinning is instead
+    # fixed at the source: get_spark sizes GC/JIT service threads to the
+    # task-slot count, like a real cgroup-constrained executor container.
     cmd = [sys.executable, str(REPO / "scripts" / "crawl_only.py"), str(cpus)]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, env=env, cwd=str(REPO), check=True,
@@ -162,7 +151,7 @@ def pair_fair(r_n, r_4n, four_n_):
 def burn_fairness(n_, four_n_, iters=6_000_000):
     walls = {}
     for procs in (n_, four_n_):
-        with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
+        with mp.Pool(procs) as pool:
             t0 = time.time()
             pool.map(_burn, [iters] * procs)
             walls[procs] = time.time() - t0
@@ -216,9 +205,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     report_only = "--report-only" in sys.argv
-    # pinned ceilings are a different quantity than the old unpinned ones —
-    # fresh file so keep-best-ever never mixes methodologies
-    ceiling_file = REPO / "BENCH" / "ceiling_pinned.json"
+    ceiling_file = REPO / "BENCH" / "ceiling.json"
     if report_only and ceiling_file.exists():
         ceiling = {int(k): v for k, v in json.loads(ceiling_file.read_text()).items()}
     else:
@@ -381,10 +368,13 @@ Input: deterministic synthetic Trustpilot-style pages corpus, committed once
 as an uncompressed Parquet pages table (Iceberg-style; fixture-realistic
 ~270 KB/page: 25 review cards + tag-soup ballast) + driver tables at
 `{sf_dir}`. Identical committed input within each pair; fresh JVM per run;
-every run CPU-pinned (`taskset`) to exactly its N cores so local[N]
-emulates an N-core executor — unpinned, JVM service threads beside local[2]
-overdraw ~20% extra CPU (measured utilization 1.20 vs 1.01 at local[8]),
-which understates N→4N scaling relative to real per-executor machines.
+each JVM's GC/JIT service-thread pools are sized to its task-slot count
+(as a cgroup-constrained executor container would be) so a local[2] run
+cannot overdraw whole-box service CPU beside its two task slots. Runs are
+deliberately NOT core-pinned: a taskset experiment (runs.jsonl, revs
+4e3e7e9/b51e95a) showed this VM's low cores are systematically ~30%
+slower, so pinning adds per-core-identity bias instead of removing
+scheduler noise.
 Efficiency is always computed within ONE attempt's back-to-back (N, 4N) runs
 — never across attempts. Attempts are kept as FAIR only when both runs' own
 metrics (core utilization, flat CPU/URL) show the host behaved (this sandbox
