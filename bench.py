@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_pairs",
     "media_feature_profile",
     "stream_user_totals",
+    "asof_order_before_event",
+    "range_orders_near_event",
     "extract_synth_companies",
     "extract_synth_reviews",
     "frontier_topk_drain",

@@ -17,14 +17,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def registry():
     """Merged (queries, oracles) across all ops modules."""
-    from . import crawlops, extraction, multimodal, relational, similarity, textops
+    from . import (
+        crawlops,
+        extraction,
+        multimodal,
+        relational,
+        similarity,
+        temporal,
+        textops,
+    )
     from ..streaming import ops as streamingops
 
     queries: dict = {}
     oracles: dict = {}
     for mod in (
         relational, textops, similarity, crawlops, extraction, multimodal,
-        streamingops,
+        temporal, streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))

@@ -19,6 +19,22 @@ CHECKS = {
     "doc_exact_dedup": ["HashAggregate"],
     "embedding_cosine_topk": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
     "frontier_topk_drain": ["Window"],
+    # sketch dedups: one partial-aggregated groupBy builds signatures; pair
+    # expansion is generate-over-groups, never a self-join of the pipeline
+    "minhash_lsh_pairs": ["HashAggregate", "Generate"],
+    "simhash_near_pairs": ["HashAggregate", "Generate"],
+    # as-of = union + single window per key (no nested-loop anywhere)
+    "asof_order_before_event": ["Window", "Union"],
+    # range join = bucketed equi-join: must be a hash join, not BNLJ
+    "range_orders_near_event": ["Join"],
+}
+
+# plans that must NOT contain these fragments (scale killers)
+ANTI_CHECKS = {
+    "asof_order_before_event": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "range_orders_near_event": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    "minhash_lsh_pairs": ["SortMergeJoin", "BroadcastHashJoin"],
+    "simhash_near_pairs": ["SortMergeJoin", "BroadcastHashJoin"],
 }
 
 
@@ -44,6 +60,11 @@ def main() -> None:
             print(f"  [{'ok' if ok else 'MISSING'}] expects {want}")
             if not ok:
                 failures.append((name, want))
+        for bad in ANTI_CHECKS.get(name, []):
+            ok = bad not in plan
+            print(f"  [{'ok' if ok else 'PRESENT'}] forbids {bad}")
+            if not ok:
+                failures.append((name, f"forbidden {bad}"))
     if failures:
         print("PLAN CHECK FAILURES:", failures)
         raise SystemExit(1)
