@@ -455,6 +455,99 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Q: CUBE over (orderstatus, orderpriority) — all grouping-set combinations
+# in one pass (partial-aggregated like any groupBy; no extra scans).
+# --------------------------------------------------------------------------
+
+
+def q_order_status_priority_cube(spark, sf):
+    orders = load(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# --------------------------------------------------------------------------
+# Q: pivot — order counts per (month, priority) with priorities as columns.
+# The pivot value list is FIXED (the 5 TPC-H priorities) so the plan is a
+# single pass with no values-discovery job.
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def q_order_priority_pivot(spark, sf):
+    orders = load(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    pivoted = (
+        orders.select(month, "o_orderpriority")
+        .groupBy("order_month")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = pivoted.select(
+        "order_month",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c)
+            for p, c in zip(_PRIORITIES, _PRIO_COLS)
+        ],
+    )
+    return renamed
+
+
+_SQL_PIVOT = "\nSELECT strftime(o_orderdate, '%Y-%m') AS order_month,\n" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS {c}"
+    for p, c in zip(_PRIORITIES, _PRIO_COLS)
+) + "\nFROM orders\nGROUP BY 1\n"
+
+# --------------------------------------------------------------------------
+# Q: exact interpolated quantiles per language (Spark `percentile` and
+# DuckDB `quantile_cont` share linear-interpolation semantics; inputs are
+# integers so the arithmetic is bit-identical).
+# --------------------------------------------------------------------------
+
+
+def q_doc_length_quantiles(spark, sf):
+    docs = load(spark, sf, "documents")
+    q = F.expr("percentile(n_chars, array(0.25, 0.5, 0.9, 0.99))")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p90"),
+        F.element_at(q, 4).alias("p99"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_order_revenue": q_segment_order_revenue,
@@ -470,6 +563,9 @@ QUERIES = {
     "user_event_gaps": q_user_event_gaps,
     "user_sessions": q_user_sessions,
     "order_month_profile": q_order_month_profile,
+    "order_status_priority_cube": q_order_status_priority_cube,
+    "order_priority_pivot": q_order_priority_pivot,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 ORACLES = {
@@ -487,4 +583,7 @@ ORACLES = {
     "user_event_gaps": _SQL_USER_EVENT_GAPS,
     "user_sessions": _SQL_USER_SESSIONS,
     "order_month_profile": _SQL_ORDER_MONTH,
+    "order_status_priority_cube": _SQL_CUBE,
+    "order_priority_pivot": _SQL_PIVOT,
+    "doc_length_quantiles": _SQL_QUANTILES,
 }
