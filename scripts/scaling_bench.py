@@ -54,12 +54,25 @@ TARGET_FAIR_PAIRS = 5  # stop on COUNT of fair pairs (never on their value)
 SUITE_RUNS = 3  # operator suite repetitions; per-query MEDIAN is reported
 
 
+# paths whose changes can alter the crawl measurement: runs pool only
+# within one revision of THIS set (doc/ops/test commits must not split the
+# sample)
+_MEASUREMENT_PATHS = [
+    "fakepilot_spark/crawl",
+    "fakepilot_spark/extract",
+    "fakepilot_spark/session.py",
+    "fakepilot_spark/corpus.py",
+    "fakepilot_spark/htmlmini.py",
+    "scripts/crawl_only.py",
+]
+
+
 def _git_rev() -> str:
     try:
         return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", "log", "-1", "--format=%h", "--"] + _MEASUREMENT_PATHS,
             capture_output=True, text=True, cwd=str(REPO), check=True,
-        ).stdout.strip()
+        ).stdout.strip() or "unknown"
     except Exception:  # noqa: BLE001
         return "unknown"
 
