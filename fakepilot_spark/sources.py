@@ -63,3 +63,40 @@ def write_pages(df: DataFrame, path: str, partitions: int | None = None) -> None
     if partitions:
         df = df.repartition(partitions)
     df.write.mode("overwrite").parquet(path)
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a WARC-export-style JSONL pages table (one JSON object per line:
+    url, warc_ts ISO-8601, html base64, text, lang) into the canonical
+    PAGE_SCHEMA shape.
+
+    JSON cannot carry raw bytes, so ``html`` rides base64 — decoded
+    JVM-side (``unbase64``), never in Python. Schema is explicit: a schema
+    inference pass over 100 TB of JSONL is a full extra scan.
+    """
+    import pyspark.sql.functions as F
+
+    raw_schema = (
+        "url string, warc_ts string, html string, text string, lang string"
+    )
+    raw = spark.read.schema(raw_schema).json(path)
+    return raw.select(
+        F.col("url"),
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.unbase64("html").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def write_pages_jsonl(df: DataFrame, path: str) -> None:
+    """Inverse of :func:`read_pages_jsonl` (html → base64, warc_ts → ISO)."""
+    import pyspark.sql.functions as F
+
+    df.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_ts"),
+        F.base64("html").alias("html"),
+        "text",
+        "lang",
+    ).write.mode("overwrite").json(path)
