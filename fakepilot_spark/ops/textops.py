@@ -571,12 +571,50 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Q: vocabulary heavy hitters — top tokens by document frequency. Exact
+# (explode distinct tokens → partial-aggregated count → rank-then-filter
+# top-k with a total tiebreak so the row set is deterministic). The corpus
+# vocabulary stat every tokenizer/filter pipeline needs.
+# --------------------------------------------------------------------------
+
+
+def q_token_doc_frequency_topk(spark, sf, k: int = 25):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("tok"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "tok", "doc_freq")
+    )
+
+
+_SQL_TOKEN_DF_TOPK = """
+SELECT rank, tok, doc_freq FROM (
+  SELECT tok, COUNT(*) AS doc_freq,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rank
+  FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+) WHERE rank <= 25
+"""
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "token_doc_frequency_topk": q_token_doc_frequency_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -589,6 +627,7 @@ ORACLES = {
     "doc_quality": _SQL_DOC_QUALITY,
     "doc_langid": _SQL_DOC_LANGID,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+    "token_doc_frequency_topk": _SQL_TOKEN_DF_TOPK,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
     "binary_payload_profile": _SQL_BINARY_PROFILE,
     "minhash_lsh_pairs": _sql_minhash_pairs(),
