@@ -124,6 +124,18 @@ def make_search_extractor(limit: int | None = None):
 
     @pandas_udf(schema)
     def extract_cards(html: pd.Series) -> pd.Series:
-        return html.map(lambda blob: search_card_records(blob, limit=limit))
+        # same batch-loop shape as _extract_batch: one pass over the Arrow
+        # batch with generational GC off for the parse-heavy span (the DOM
+        # is acyclic — refcounting reclaims it; gen-GC only thrashes).
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            cards = [search_card_records(blob, limit=limit) for blob in html]
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+        return pd.Series(cards, index=html.index, dtype=object)
 
     return extract_cards

@@ -98,7 +98,8 @@ def q_media_feature_profile(spark, sf) -> DataFrame:
     aggregate is exact and the whole pipeline — including the mapInPandas
     decode output — is verified value-level against a DuckDB oracle that
     recomputes the fold arithmetically from the text bytes (ASCII corpus:
-    ``ord(substr(...))`` is the byte)."""
+    ``ord(substr(...))`` is the byte; the corpus-is-ASCII precondition is
+    gated by ``tests/test_multimodal.py::test_documents_corpus_is_ascii``)."""
     feats = q_media_features(spark, sf)
     f0 = F.element_at("features", 1)
     return feats.groupBy("modality").agg(

@@ -573,25 +573,35 @@ GROUP BY 1
 
 # --------------------------------------------------------------------------
 # Q: vocabulary heavy hitters — top tokens by document frequency. Exact
-# (explode distinct tokens → partial-aggregated count → rank-then-filter
-# top-k with a total tiebreak so the row set is deterministic). The corpus
-# vocabulary stat every tokenizer/filter pipeline needs.
+# (explode distinct tokens → partial-aggregated count → bounded top-k).
+# The corpus vocabulary stat every tokenizer/filter pipeline needs.
+#
+# Scale shape: ``orderBy(...).limit(k)`` executes as TakeOrdered — each
+# partition keeps a k-row heap, the merge sees partitions × k rows, and
+# the 10^8+-token vocabulary never funnels through a single task's sort.
+# ``rank`` is derived afterwards by a window over the ≤ k survivors only.
 # --------------------------------------------------------------------------
 
 
 def q_token_doc_frequency_topk(spark, sf, k: int = 25):
-    from pyspark.sql import Window
-
     docs = load(spark, sf, "documents")
     toks = docs.select(
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("tok"))
-    return (
-        df_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "tok", "doc_freq")
+    top = df_counts.orderBy(F.desc("doc_freq"), F.asc("tok")).limit(k)
+    # rank the ≤ k survivors with one tiny aggregate (sorted-struct-list +
+    # posexplode) instead of a window — no WindowExec anywhere in the plan.
+    # Negating doc_freq makes ascending struct sort == (freq desc, tok asc).
+    ranked = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("doc_freq")).alias("nf"), "tok"))
+        ).alias("a")
+    ).select(F.posexplode("a").alias("pos", "s"))
+    return ranked.select(
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("s.tok").alias("tok"),
+        (-F.col("s.nf")).alias("doc_freq"),
     )
 
 

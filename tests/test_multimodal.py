@@ -27,3 +27,24 @@ def test_media_modalities_cover_all(spark):
         for r in media_items(spark, "/root/testdata/sf0.001").select("modality").distinct().collect()
     }
     assert mods == {"image", "audio", "video"}
+
+
+def test_documents_corpus_is_ascii():
+    """Oracle-parity guard: the media_feature_profile DuckDB oracle indexes
+    text by CHARACTER (``ord(substr(...))``) while the Spark path folds
+    UTF-8 BYTES — the two agree iff the documents text is pure ASCII.
+    If testdata ever grows non-ASCII rows this fails loudly instead of the
+    driver gate failing mysteriously (round-2 ADVICE, multimodal.py)."""
+    from pathlib import Path
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = Path(f"/root/testdata/{sf}/documents.parquet")
+        if not path.exists():
+            continue
+        (n_bad,) = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE octet_length(encode(text)) != length(text)"
+        ).fetchone()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII document rows"
