@@ -390,6 +390,15 @@ def materialize_corpus(
                 .partitionBy("pbucket")
                 .parquet(str(p))
             )
+            # record the bucket modulus next to the data (underscore files
+            # are invisible to Spark's file index): CrawlEngine refuses to
+            # partition-prune with a pages_buckets that doesn't match it,
+            # because a wrong modulus silently drops pages from the fetch.
+            import json as _json
+
+            (p / "_fps_corpus_meta.json").write_text(
+                _json.dumps({"pages_buckets": buckets, "n_pages": n_pages})
+            )
         else:
             df.write.mode("overwrite").option("compression", "none").parquet(
                 str(p)

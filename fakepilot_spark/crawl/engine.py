@@ -87,6 +87,49 @@ class CrawlEngine:
         )
         self._robots = robots_df(spark, config.robots_rules)
         self._politeness = politeness_df(spark, config.host_budgets)
+        self._expand_cache: list = []  # DataFrames pinned for one expand step
+        if config.pages_path and config.pages_buckets:
+            self._validate_pages_buckets()
+
+    def _validate_pages_buckets(self) -> None:
+        """Refuse to prune against a mismatched bucket layout.
+
+        The fetch scan's ``pbucket.isin(...)`` filter is only correct when
+        ``cfg.pages_buckets`` equals the modulus the pages table was
+        MATERIALIZED with — a mismatch silently drops pages (fewer URLs
+        fetched, no error). ``materialize_corpus`` records the modulus in
+        ``_fps_corpus_meta.json``; absent that, fall back to the
+        ``pbucket=N`` partition directory names (max index + 1 — exact
+        whenever the top bucket is non-empty, which any corpus bigger than
+        a few × buckets satisfies).
+        """
+        cfg = self.cfg
+        root = Path(cfg.pages_path)
+        meta = root / "_fps_corpus_meta.json"
+        if meta.exists():
+            actual = int(json.loads(meta.read_text())["pages_buckets"])
+            src = "metadata file"
+        else:
+            idx = [
+                int(p.name.split("=", 1)[1])
+                for p in root.glob("pbucket=*")
+                if p.is_dir()
+            ]
+            if not idx:
+                raise ValueError(
+                    f"pages_path {cfg.pages_path} has no pbucket=N "
+                    "partition directories: bucket pruning would drop every "
+                    "page. Re-materialize bucketed or set pages_buckets=None."
+                )
+            actual = max(idx) + 1
+            src = "pbucket= directory layout"
+        if actual != cfg.pages_buckets:
+            raise ValueError(
+                f"pages_buckets mismatch: config says {cfg.pages_buckets} "
+                f"but the table at {cfg.pages_path} was materialized with "
+                f"{actual} (from {src}). Bucket pruning with the wrong "
+                "modulus silently drops pages."
+            )
 
     # -- state io -----------------------------------------------------------
 
@@ -115,6 +158,62 @@ class CrawlEngine:
     def _read_seen_through(self, epoch: int) -> DataFrame:
         paths = [self._delta_path(e) for e in range(-1, epoch + 1)]
         return self.spark.read.schema(FRONTIER_SCHEMA).parquet(*paths).select("url")
+
+    def _pending_count(self, prev_epoch: int) -> int | None:
+        """Pending-frontier row count after ``prev_epoch``, from its committed
+        manifest (zero-cost — no Spark job). None when unknown."""
+        m = _manifest_path(self.ckpt, prev_epoch)
+        if not m.exists():
+            return None
+        s = json.loads(m.read_text())
+        if "pending_after" in s:
+            return int(s["pending_after"])
+        if "seeded" in s:
+            return int(s["seeded"])
+        return None
+
+    def _drain_batch(
+        self, admitted: DataFrame, k: int, pending_n: int | None
+    ) -> DataFrame:
+        """Exact (score desc, url asc) global top-``k`` micro-batch without a
+        single-task sort or driver-side merge of the full frontier.
+
+        * Fast path: when the whole pending frontier provably fits the batch
+          (``pending_n <= k``, read from the previous epoch's manifest),
+          every admitted row is in the batch — no ordering work at all
+          (the batch is a set downstream; order never matters past the rank).
+        * Otherwise two-phase, the same shape as
+          ``politeness.admit_per_host``: phase 1 shuffles by a url-hash
+          drain salt and keeps each salt group's local top-k (P parallel
+          bounded sorts — no task ever sorts more than its hash share of the
+          frontier); phase 2 ranks only the <= P*k phase-1 survivors. The
+          phase-2 sort is one executor task, but its input is bounded by the
+          prune and it spills to disk — unlike ``orderBy().limit(k)``
+          (TakeOrderedAndProject), whose final merge materializes the whole
+          multi-million-row batch in driver memory.
+        """
+        if pending_n is not None and pending_n <= k:
+            return admitted
+        from pyspark.sql import Window
+
+        P = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        w_local = Window.partitionBy("dsalt").orderBy(
+            F.desc("score"), F.asc("url")
+        )
+        pruned = (
+            admitted.withColumn(
+                "dsalt", F.pmod(F.xxhash64("url"), F.lit(P)).cast("int")
+            )
+            .withColumn("dr", F.row_number().over(w_local))
+            .filter(F.col("dr") <= k)
+            .drop("dsalt", "dr")
+        )
+        w_global = Window.orderBy(F.desc("score"), F.asc("url"))
+        return (
+            pruned.withColumn("gr", F.row_number().over(w_global))
+            .filter(F.col("gr") <= k)
+            .drop("gr")
+        )
 
     # -- sketches -----------------------------------------------------------
 
@@ -252,7 +351,12 @@ class CrawlEngine:
         out_schema = StructType(
             list(hashed.schema.fields) + [StructField("maybe_seen", BooleanType())]
         )
-        flagged = hashed.mapInPandas(bloom_check, out_schema)
+        # The bloom subtree (links explode → min-depth groupBy → mapInPandas)
+        # is referenced by up to 4 branches of the single expand action
+        # (candidates/passed × definitely_new/residual); pin it so it
+        # executes once. _run_epoch unpersists after new_frontier.count().
+        flagged = hashed.mapInPandas(bloom_check, out_schema).persist()
+        self._expand_cache.append(flagged)
 
         cdir = self._cuckoo_dir(cuckoo_epoch)
         if not Path(cdir).exists():
@@ -351,26 +455,32 @@ class CrawlEngine:
         }
 
     def _write_lineage(self, epoch: int, results_dir: str, lineage_dir: str) -> None:
-        """Per-partition lineage (partition_id, urls_fetched, frontier_epoch,
-        fetch_ts) from the committed results files' footers (driver-side)."""
+        """Per-file lineage (partition_id, urls_fetched, frontier_epoch,
+        fetch_ts), aggregated EXECUTOR-side from the committed results table
+        (``input_file_name()`` groupBy). Storage-agnostic: no driver-side
+        globbing of parquet footers, so the same code runs on HDFS/S3. The
+        aggregate output is metadata-sized (one row per committed file), so
+        the final coalesce(1) + within-partition sort is trivially bounded.
+        """
         import datetime as _dt
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        files = sorted(Path(results_dir).glob("*.parquet"))
-        counts = [pq.ParquetFile(str(f)).metadata.num_rows for f in files]
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        table = pa.table(
-            {
-                "partition_id": pa.array(range(len(files)), pa.int32()),
-                "urls_fetched": pa.array(counts, pa.int64()),
-                "frontier_epoch": pa.array([epoch] * len(files), pa.int32()),
-                "fetch_ts": pa.array([now] * len(files), pa.timestamp("us")),
-            }
+        counts = (
+            self.spark.read.parquet(results_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("urls_fetched"))
         )
-        Path(lineage_dir).mkdir(parents=True, exist_ok=True)
-        pq.write_table(table, str(Path(lineage_dir) / "part-0.parquet"))
+        lineage = (
+            counts.coalesce(1)
+            .sortWithinPartitions("file")
+            .select(
+                F.monotonically_increasing_id().cast("int").alias("partition_id"),
+                "urls_fetched",
+                F.lit(epoch).cast("int").alias("frontier_epoch"),
+                F.lit(now).cast("timestamp").alias("fetch_ts"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(lineage_dir)
 
     def _write_bloom(self, epoch: int, bloom: bytes | None) -> None:
         """The bloom blob is the one driver-held sketch (it exists to be
@@ -422,10 +532,9 @@ class CrawlEngine:
             )
         else:
             admitted = allowed
-        batch = admitted.orderBy(F.desc("score"), F.asc("url")).limit(
-            cfg.global_batch
-        )
-        batch = batch.cache()
+        batch = self._drain_batch(
+            admitted, cfg.global_batch, self._pending_count(epoch - 1)
+        ).cache()
         # one action materializes the cache AND (for a bucketed corpus)
         # collects the batch's url-hash bucket set — no separate job for the
         # fetch-scan pruning metadata.
@@ -503,6 +612,7 @@ class CrawlEngine:
             .agg(F.min("depth").alias("depth"))
         )
         seen = self._read_seen_through(epoch - 1)
+        self._expand_cache = []
         if cfg.use_sketches and bloom is not None:
             flagged = self._sketch_prefilter(links, bloom, cuckoo_epoch=epoch - 1)
             definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -521,6 +631,9 @@ class CrawlEngine:
             new_urls, F.col("depth"), epoch + 1
         ).persist()
         new_n = new_frontier.count()
+        for cached in self._expand_cache:
+            cached.unpersist()
+        self._expand_cache = []
         t_step = _lap("expand", t_step)
 
         # 6. next frontier snapshot: survivors (pending minus this batch) +

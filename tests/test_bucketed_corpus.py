@@ -99,3 +99,72 @@ def test_fetch_scan_carries_partition_filter(spark, bucketed_dir, tmp_path_facto
     }
     assert scanned <= set(range(BUCKETS))
     assert len(scanned) <= 2 and hit <= scanned
+
+
+def test_wrong_pages_buckets_refused(spark, bucketed_dir, tmp_path_factory):
+    """A pages_buckets that doesn't match the materialized layout must fail
+    LOUDLY at engine init — the wrong modulus would silently drop pages from
+    the fetch join (round-2 ADVICE, engine.py)."""
+    with pytest.raises(ValueError, match="pages_buckets mismatch"):
+        CrawlEngine(
+            spark,
+            spark.read.parquet(bucketed_dir),
+            _cfg(
+                tmp_path_factory.mktemp("wrongbk"),
+                pages_path=bucketed_dir,
+                pages_buckets=BUCKETS * 2,
+            ),
+        )
+
+
+def test_unbucketed_path_with_pruning_refused(spark, tmp_path_factory):
+    """Pruning enabled against a table with no pbucket=N layout would scan
+    zero pages; init must refuse."""
+    d = tmp_path_factory.mktemp("flat_pages")
+    synth_pages(
+        spark, 10, partitions=2, hosts=3, skew_mega_host=False,
+        reviews_per_page=1, links_per_page=2,
+    ).write.mode("overwrite").parquet(str(d))
+    with pytest.raises(ValueError, match="no pbucket"):
+        CrawlEngine(
+            spark,
+            spark.read.parquet(str(d)),
+            _cfg(
+                tmp_path_factory.mktemp("flatck"),
+                pages_path=str(d),
+                pages_buckets=8,
+            ),
+        )
+
+
+def test_corpus_meta_file_gates_pruning(spark, tmp_path_factory):
+    """materialize_corpus records the bucket modulus; an engine configured
+    with a different value is refused via the metadata file."""
+    from fakepilot_spark.corpus import materialize_corpus
+
+    d = tmp_path_factory.mktemp("meta_pages") / "corpus"
+    materialize_corpus(
+        spark, str(d), 20, files=2, buckets=8, hosts=3,
+        skew_mega_host=False, reviews_per_page=1, links_per_page=2,
+    )
+    assert (d / "_fps_corpus_meta.json").exists()
+    with pytest.raises(ValueError, match="pages_buckets mismatch"):
+        CrawlEngine(
+            spark,
+            spark.read.parquet(str(d)),
+            _cfg(
+                tmp_path_factory.mktemp("metack"),
+                pages_path=str(d),
+                pages_buckets=16,
+            ),
+        )
+    # the matching modulus is accepted
+    CrawlEngine(
+        spark,
+        spark.read.parquet(str(d)),
+        _cfg(
+            tmp_path_factory.mktemp("metaok"),
+            pages_path=str(d),
+            pages_buckets=8,
+        ),
+    )
