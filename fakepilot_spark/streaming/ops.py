@@ -118,28 +118,43 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: run the stateful ``applyInPandasWithState``
     stream to completion (availableNow, 4 staged files → 4 micro-batches so
     state genuinely crosses batch boundaries) and return the FINAL per-user
-    state as a batch DataFrame. Oracle = a plain per-user aggregate."""
+    state as a batch DataFrame. Oracle = a plain per-user aggregate.
+
+    Scale shape (round-2 verdict fix): the events table is never
+    materialized on the driver — staging is one distributed Spark write
+    (``repartitionByRange(4, event_id)`` → 4 files → 4 micro-batches; WHICH
+    rows share a batch is irrelevant to the final state, which is a total
+    aggregate), and per-batch update emissions land in a parquet
+    ``foreachBatch`` sink (executor-side append) instead of a driver-held
+    ``memory`` sink. The stage dir is keyed on the events file's
+    mtime+size so a regenerated input invalidates the cache, and the
+    streaming checkpoint dir is removed after termination.
+    """
     import hashlib
     import os
+    import shutil
     import tempfile
-    import uuid
 
-    import pyarrow.parquet as pq
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "fps_stream4_" + key)
+    marker = os.path.join(stage, "_FPS_STAGED")  # _-prefixed: source ignores it
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            spark.read.parquet(src)
+            .repartitionByRange(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        with open(marker, "w"):
+            pass
 
-    # stage the single events file as 4 event_id-sliced files (deterministic)
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "fps_stream4_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    if not os.path.isdir(stage) or len(os.listdir(stage)) != 4:
-        os.makedirs(stage, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("event_id")
-        n = t.num_rows
-        for i in range(4):
-            lo, hi = i * n // 4, (i + 1) * n // 4
-            pq.write_table(t.slice(lo, hi - lo), os.path.join(stage, f"part-{i:03d}.parquet"))
-
-    name = "user_totals_" + uuid.uuid4().hex[:8]
+    outdir = stage + "_state"
+    shutil.rmtree(outdir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="fps_ckpt_")
     stream = (
         spark.readStream.schema(EVENTS_DDL)
@@ -154,19 +169,21 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     q = (
-        out.writeStream.format("memory")
-        .queryName(name)
+        out.writeStream.foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("append").parquet(outdir)
+        )
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    # update-mode sink: a user's LAST emission (max n_events — n is strictly
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # update-mode emissions: a user's LAST one (max n_events — n is strictly
     # increasing across that user's batches) is the final state
     from pyspark.sql import Window
 
-    tbl = spark.table(name)
+    tbl = spark.read.parquet(outdir)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         tbl.withColumn("rn", F.row_number().over(w))
