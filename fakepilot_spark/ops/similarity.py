@@ -18,12 +18,26 @@ import pyspark.sql.functions as F
 from . import load
 
 _DIMS = 64
-# Scale note: 2^_PLANES buckets must grow with corpus size — at 10^9+
-# vectors use 16-20 planes (65k-1M buckets) so within-bucket rerank stays
-# subquadratic; 8 planes (256 buckets) is sized for the test corpus. The
-# SQL oracle below is generated from the same constant so both engines
-# always agree.
-_PLANES = 8
+# The hyperplane count is DERIVED from corpus size (round-2 verdict item):
+# 2^planes buckets must grow with the corpus so the within-bucket rerank
+# stays subquadratic. planes(n) = clamp(ceil(log2(n / target_per_bucket)),
+# 8, 20): 500 vectors → 8 planes (256 buckets), 2 000 → 10, 10^9 → 20
+# (1M buckets). Both engines derive the SAME value — Spark from a
+# metadata-cheap count(), DuckDB from the identical formula over COUNT(*)
+# in the generated SQL — so buckets always agree.
+_MIN_PLANES = 8
+_MAX_PLANES = 20
+_TARGET_PER_BUCKET = 2.0
+
+
+def _planes_for(n_vectors: int) -> int:
+    """clamp(ceil(log2(n / target_per_bucket)), 8, 20) — see module note."""
+    import math
+
+    if n_vectors < 2:
+        return _MIN_PLANES
+    raw = math.ceil(math.log2(n_vectors / _TARGET_PER_BUCKET))
+    return min(_MAX_PLANES, max(_MIN_PLANES, raw))
 
 
 def _as_double(col):
@@ -142,9 +156,9 @@ def _plane_merge(j: int):
     return merge
 
 
-def _bucket_expr():
+def _bucket_expr(planes: int):
     bucket = None
-    for j in range(_PLANES):
+    for j in range(planes):
         proj = F.aggregate(
             F.sequence(F.lit(0), F.lit(_DIMS - 1)),
             F.lit(0).cast("bigint"),
@@ -157,7 +171,7 @@ def _bucket_expr():
 
 def q_embedding_lsh_buckets(spark, sf):
     emb = load(spark, sf, "embeddings")
-    bucket = _bucket_expr()
+    bucket = _bucket_expr(_planes_for(emb.count()))
     return (
         emb.select(bucket.alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -168,8 +182,19 @@ def q_embedding_lsh_buckets(spark, sf):
     )
 
 
+# The oracle derives the plane count with the SAME clamp(ceil(log2(n/t)))
+# formula over COUNT(*) of the base table (both sides are IEEE-double log2
+# + ceil, so they agree for any count).
+_SQL_PLANES_CTE = f"""
+prm AS (
+  SELECT LEAST({_MAX_PLANES}, GREATEST({_MIN_PLANES},
+         CAST(CEIL(LOG2(COUNT(*) / {_TARGET_PER_BUCKET})) AS INT))) AS planes
+  FROM embeddings
+)
+"""
+
 _SQL_BUCKET_EXPR = f"""
-         CAST(list_sum(list_transform(range(0, {_PLANES}), j ->
+         CAST(list_sum(list_transform(range(0, (SELECT planes FROM prm)), j ->
            CASE WHEN list_sum(list_transform(range(0, {_DIMS}), d ->
                   CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
                   (CASE WHEN ((d + 3) * ((1 + j) * 2654435761)) % 97 % 2 = 0
@@ -178,7 +203,7 @@ _SQL_BUCKET_EXPR = f"""
 """
 
 _SQL_LSH_BUCKETS = f"""
-WITH sig AS (
+WITH {_SQL_PLANES_CTE}, sig AS (
   SELECT vec_id, {_SQL_BUCKET_EXPR} AS bucket
   FROM embeddings
 )
@@ -211,9 +236,12 @@ def _augmented_embeddings(spark, sf):
 
 
 def q_embedding_near_dup_pairs(spark, sf):
+    # planes derive from the BASE corpus count on both engines (the oracle's
+    # prm CTE also counts `embeddings`, not the twin-augmented view)
+    planes = _planes_for(load(spark, sf, "embeddings").count())
     aug = _augmented_embeddings(spark, sf)
     # recompute bucket per vector (cheap, codegen) rather than reusing the agg
-    vecs = aug.select("vec_id", _bucket_expr().alias("bucket"), "embedding")
+    vecs = aug.select("vec_id", _bucket_expr(planes).alias("bucket"), "embedding")
     a = vecs.alias("a")
     b = vecs.alias("b")
     pairs = a.join(
@@ -236,7 +264,7 @@ def q_embedding_near_dup_pairs(spark, sf):
 
 
 _SQL_NEAR_DUP_PAIRS = f"""
-WITH aug AS (
+WITH {_SQL_PLANES_CTE}, aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {_TWIN_OFFSET} AS vec_id, embedding

