@@ -32,6 +32,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# N-run median mode (round-2 verdict task 4): this sandbox's host speed
+# flaps 2-4x, so a single-shot bench conflates plan changes with weather.
+# Every timing reported is the MEDIAN of N in-session repeats (corpus
+# materialization, warmup and JVM startup are paid once, so repeats are
+# cheap); per-run values ship in "per_run" so a reader can see the spread.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 # queries timed in the relational/ops section of the headline suite
 BENCH_QUERIES = [
@@ -110,7 +116,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def crawl_bench(spark, sf: float) -> dict:
+def crawl_bench(spark, sf: float, runs: int = 1) -> list[dict]:
     """The headline: crawl a synthetic corpus sized by SF, report urls/sec.
 
     Pages are fixture-realistic (~270 KB: 25 review cards + tag-soup ballast;
@@ -185,47 +191,52 @@ def crawl_bench(spark, sf: float) -> dict:
     )
     pages.write.format("noop").mode("overwrite").save()
 
+    results = []
     try:
         seeds = [
             r["url"]
             for r in pages.select("url").where("page_id % 3 = 1").collect()
         ]
-        ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
-        cfg = CrawlConfig(
-            checkpoint_dir=ckpt,
-            seeds=seeds,
-            max_epochs=2,
-            global_batch=n_pages,
-            default_budget=n_pages,
-            nreviews=20,
-            use_sketches=True,
-            bloom_capacity=max(n_pages * 4, 1 << 18),
-            cuckoo_partitions=32,
-            cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
-            pages_path=corpus_dir,
-            pages_buckets=corpus_buckets,
-        )
-        engine = CrawlEngine(spark, pages, cfg)
-        cpu0 = _subtree_cpu_sec()
-        t0 = time.time()
-        summary = engine.run()
-        wall = time.time() - t0
-        cpu = _subtree_cpu_sec() - cpu0
-        shutil.rmtree(ckpt, ignore_errors=True)
+        for _ in range(runs):
+            ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt,
+                seeds=seeds,
+                max_epochs=2,
+                global_batch=n_pages,
+                default_budget=n_pages,
+                nreviews=20,
+                use_sketches=True,
+                bloom_capacity=max(n_pages * 4, 1 << 18),
+                cuckoo_partitions=32,
+                cuckoo_capacity_per_partition=max(n_pages // 4, 1 << 14),
+                pages_path=corpus_dir,
+                pages_buckets=corpus_buckets,
+            )
+            engine = CrawlEngine(spark, pages, cfg)
+            cpu0 = _subtree_cpu_sec()
+            t0 = time.time()
+            summary = engine.run()
+            wall = time.time() - t0
+            cpu = _subtree_cpu_sec() - cpu0
+            shutil.rmtree(ckpt, ignore_errors=True)
+            fetched = summary["total_fetched"]
+            results.append(
+                {
+                    "wall_sec": round(wall, 3),
+                    "urls_fetched": fetched,
+                    "urls_per_sec": round(fetched / wall, 2),
+                    "epochs": len(summary["epochs"]),
+                    "epoch_steps": [s["steps"] for s in summary["epochs"]],
+                    "cpu_sec": round(cpu, 1),
+                    "cpu_per_url_ms": round(cpu * 1000 / max(fetched, 1), 1),
+                    "utilization": round(cpu / (wall * CPUS), 3),
+                }
+            )
     finally:
         for k, v in saved_conf.items():
             spark.conf.set(k, v)
-    fetched = summary["total_fetched"]
-    return {
-        "wall_sec": round(wall, 3),
-        "urls_fetched": fetched,
-        "urls_per_sec": round(fetched / wall, 2),
-        "epochs": len(summary["epochs"]),
-        "epoch_steps": [s["steps"] for s in summary["epochs"]],
-        "cpu_sec": round(cpu, 1),
-        "cpu_per_url_ms": round(cpu * 1000 / max(fetched, 1), 1),
-        "utilization": round(cpu / (wall * CPUS), 3),
-    }
+    return results
 
 
 def main() -> None:
@@ -242,20 +253,31 @@ def main() -> None:
     )
     queries, _ = registry()
 
+    from statistics import median
+
     timings: dict = {}
+    per_run: dict = {}
     total = 0.0
 
-    crawl = crawl_bench(spark, sf)
-    timings["crawl_pipeline"] = crawl["wall_sec"]
-    total += crawl["wall_sec"]
+    crawl_runs = crawl_bench(spark, sf, RUNS)
+    crawl_wall = round(median(r["wall_sec"] for r in crawl_runs), 3)
+    timings["crawl_pipeline"] = crawl_wall
+    total += crawl_wall
+    per_run["crawl_urls_per_sec"] = [r["urls_per_sec"] for r in crawl_runs]
+    per_run["crawl_utilization"] = [r["utilization"] for r in crawl_runs]
+    per_run["crawl_cpu_per_url_ms"] = [r["cpu_per_url_ms"] for r in crawl_runs]
 
+    q_samples: dict = {name: [] for name in BENCH_QUERIES}
+    for _ in range(RUNS):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            q_samples[name].append(round(time.time() - t0, 3))
     for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.time()
-        _force(fn(spark, SF_DIR))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+        timings[name] = round(median(q_samples[name]), 3)
+        total += timings[name]
+    per_run["queries"] = q_samples
 
     print(
         json.dumps(
@@ -266,8 +288,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
-                "urls_per_sec": crawl["urls_per_sec"],
-                "urls_fetched": crawl["urls_fetched"],
+                "runs": RUNS,
+                "urls_per_sec": round(
+                    median(r["urls_per_sec"] for r in crawl_runs), 2
+                ),
+                "urls_fetched": crawl_runs[0]["urls_fetched"],
+                "per_run": per_run,
             }
         )
     )

@@ -140,6 +140,9 @@ def run_full_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # this script takes its own cross-process medians (SUITE_RUNS); keep each
+    # bench.py invocation single-shot so repeats aren't nested
+    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO), check=True,
