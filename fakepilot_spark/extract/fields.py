@@ -152,7 +152,7 @@ def _rating_distribution(dom: Tag):
                 dist[star] = float(pct)
     if any(dist):
         return dist
-    return None
+    return None  # pragma: no cover — unreachable by construction, like the reference: any() iterates the dict's 1..5 integer KEYS (always truthy), xray.py:169-171
 
 
 def company_record(dom: Tag) -> dict:

@@ -754,8 +754,8 @@ def parse_fast(markup) -> Tag:
                         low = s.lower()
                     endm = low.find("</" + name, close)
                     if endm < 0:
-                        if close < n:
-                            emit_str(s[close:n], RAWTEXT)
+                        # unterminated rawtext at EOF: stdlib buffers in
+                        # cdata mode and never flushes it — emit nothing
                         close = n
                     else:
                         if endm > close:
@@ -781,21 +781,23 @@ def parse_fast(markup) -> Tag:
             if startswith("<!--", lt):
                 end = find("-->", lt + 4)
                 if end < 0:
-                    emit_str(s[lt + 4 : n], COMMENT)
+                    # unterminated at EOF: stdlib flushes the remainder
+                    # (markup included) as unescaped DATA
+                    emit_text(_decode_text(s[lt:n]))
                     break
                 emit_str(s[lt + 4 : end], COMMENT)
                 i = end + 3
             elif startswith("<![", lt):
                 mm = _MARKED_CLOSE.search(s, lt + 3)
                 if not mm:
-                    emit_str(s[lt + 3 : n], DECL)
+                    emit_text(_decode_text(s[lt:n]))
                     break
                 emit_str(s[lt + 3 : mm.start()], DECL)
                 i = mm.end()
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    emit_str(s[lt + 2 : n], DECL)
+                    emit_text(_decode_text(s[lt:n]))
                     break
                 body = s[lt + 2 : gt]
                 if body[:7].lower() == "doctype":
@@ -807,7 +809,7 @@ def parse_fast(markup) -> Tag:
         elif nxt == "?":
             gt = find(">", lt)
             if gt < 0:
-                emit_str(s[lt + 2 : n], DECL)
+                emit_text(_decode_text(s[lt:n]))
                 break
             emit_str(s[lt + 2 : gt], DECL)
             i = gt + 1

@@ -1,0 +1,190 @@
+"""Round-3: close the line-coverage gaps the reference's >=95% bar exposes
+(scripts/coverage_gate.py). Pure-Python only — these run under the settrace
+tracer, exercising exactly the code the Spark UDF workers execute.
+
+Targets: htmlmini's tolerant malformed-markup fallbacks (differential vs the
+stdlib backend, which IS the spec), the traversal/index paths the golden
+fixtures never hit, the cache-bound branches, `link_hrefs`, and the
+search-card extractor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fakepilot_spark import htmlmini
+from fakepilot_spark.extract.fields import link_hrefs
+from fakepilot_spark.extract.search import search_card_records
+from fakepilot_spark.htmlmini import parse, parse_fast, parse_stdlib
+
+from .test_htmlmini import _dom_sig
+
+
+# -- malformed / fallback tokenizer paths (stdlib backend = spec) ------------
+
+MALFORMED = [
+    "<div foo",  # start tag unterminated at EOF
+    "<a b=c",  # unquoted attr, EOF
+    "<a b=c/>after",  # sloppy self-close via fallback
+    "<a b = 'v' href=/u>x</a>",  # spaced '=' rejects the fast regex
+    "</",  # bare end-tag opener at EOF
+    "</ p>x",  # bogus end tag (space)
+    "</p junk>x",  # end tag with trailing junk
+    "<b><i>x</b>after",  # mismatched close unwinds the stack
+    "<!-- never closed",  # unterminated comment
+    "<![CDATA[never closed",  # unterminated marked section
+    "<![CDATA[x]]><p>y</p>",
+    "<!bogus stuff>x",  # bogus decl -> comment (stdlib routing)
+    "<!doctype html><p>x</p>",
+    "<!unterminated",  # decl at EOF
+    "<?php echo 1",  # unterminated processing instruction
+    "<?pi?><p>x</p>",
+    "a < b > c",  # lone '<' emits text
+    "tail <",  # lone '<' at EOF
+    "<script>never ends",  # rawtext unterminated
+    "<script>a</script><p>b</p>",
+    '<a t="&amp;x" u=\'&lt;\'>e</a>',  # charrefs in attr values (both quotes)
+    "<" + "a" * 300 + " href='x'>big</" + "a" * 300 + ">",  # >256-char token skips the start-token cache
+    "<p/>selfclosed",
+    "<ul><li>a<li>b</ul>",  # implied closes stay open (stdlib semantics)
+]
+
+
+@pytest.mark.parametrize("markup", MALFORMED)
+def test_malformed_markup_matches_stdlib(markup):
+    assert _dom_sig(parse_fast(markup)) == _dom_sig(parse_stdlib(markup)), markup
+
+
+# -- traversal / index paths -------------------------------------------------
+
+DOC = (
+    "<html><body>"
+    "<div id='a' class='x y'><p class='x'>one</p><p>two</p></div>"
+    "<div id='b' class='x'><span>one</span><script>raw one</script></div>"
+    "<a href='/r'>link</a><a>nohref</a>"
+    "</body></html>"
+)
+
+
+def test_descendants_preorder():
+    dom = parse(DOC)
+    div = dom.find(attrs={"id": "a"})
+    kinds = [getattr(n, "name", "#text") for n in div.descendants]
+    assert kinds == ["p", "#text", "p", "#text"]
+
+
+def test_find_string_with_limit_scoped():
+    dom = parse(DOC)
+    # duplicate text "one" exists as normal text AND rawtext; the doc index
+    # merges value groups across kinds (document-ordered)
+    hits_all = dom.find_all(string="one")
+    assert len(hits_all) == 2
+    sub = dom.find(attrs={"id": "b"})
+    assert len(sub.find_all(string="one", limit=1)) == 1
+    assert dom.find(string=re.compile("raw")).text == "raw one"
+
+
+def test_find_callable_name_with_class_filter():
+    dom = parse(DOC)
+    hits = dom.find_all(lambda t: t.name == "p", class_="x")
+    assert len(hits) == 1 and hits[0].string == "one"
+
+
+def test_find_name_plus_attrs_picks_smaller_candidate_list():
+    dom = parse(DOC)
+    hit = dom.find("div", attrs={"id": "b"})
+    assert hit["id"] == "b"
+    assert dom.find("div", attrs={"id": "zzz"}) is None
+    assert dom.find("nosuchtag") is None
+
+
+def test_parser_env_override(monkeypatch):
+    monkeypatch.setenv("FAKEPILOT_PARSER", "stdlib")
+    assert _dom_sig(parse(DOC)) == _dom_sig(parse_stdlib(DOC))
+
+
+def test_long_text_segment_bypasses_cache():
+    big = "x" * 10_000
+    dom = parse(f"<p>{big}&amp;tail</p>")
+    assert dom.find("p").string == big + "&tail"
+
+
+def test_bounded_caches_reset_when_full():
+    """Each tokenizer cache clears itself past 100k entries — fill with
+    dummies and confirm the next parse both trips the reset and still
+    produces a correct DOM."""
+    filler = {("pad", i): None for i in range(100_001)}
+    for cache in (
+        htmlmini._TEXT_CACHE,
+        htmlmini._STRNODE_CACHE,
+        htmlmini._ATTR_BLOB_CACHE,
+        htmlmini._START_TOKEN_CACHE,
+    ):
+        cache.update(filler)
+    dom = parse("<div id='fresh'>text &amp; more</div>")
+    assert dom.find("div")["id"] == "fresh"
+    assert dom.find("div").string == "text & more"
+    assert len(htmlmini._START_TOKEN_CACHE) < 100_001
+    assert len(htmlmini._TEXT_CACHE) < 100_001
+
+
+def test_attr_blob_garbage_stops_cleanly():
+    dom = parse("<div a='1' === b='2'>x</div>")
+    assert _dom_sig(parse_fast("<div a='1' === b='2'>x</div>")) == _dom_sig(
+        parse_stdlib("<div a='1' === b='2'>x</div>")
+    )
+    assert dom.find("div") is not None
+
+
+# -- extract surface ---------------------------------------------------------
+
+
+def test_link_hrefs_document_order():
+    dom = parse(DOC)
+    assert link_hrefs(dom) == ["/r"]  # href-less anchors skipped
+
+
+def _card(i, score="3.5", extras=True):
+    mid = (
+        f'<span data-search-result-score-typography="true">{score}</span>'
+        f'<span data-search-result-reviews-count="1,23{i}">reviews</span>'
+        f'<span data-search-result-location-typography="true">City {i}</span>'
+        f'<span data-search-result-category-typography="true">Category {i}</span>'
+        if extras
+        else ""
+    )
+    return (
+        '<div data-search-result-card="true">'
+        f'<p data-search-result-name-typography="true">Company {i}<!-- --> </p>'
+        f'<a data-search-result-link="true" href="/review/c{i}">visit</a>'
+        f"{mid}</div>"
+    )
+
+
+def test_search_cards_scoped_to_result_list():
+    page = (
+        "<html><body>"
+        '<section class="styles_searchResultsList__q1">'
+        + _card(0)
+        + _card(1, score="4,1")
+        + "</section>"
+        + _card(99)  # decoy outside the list (corpus.py plants one too)
+        + "</body></html>"
+    )
+    cards = search_card_records(page)
+    assert [c["name"] for c in cards] == ["Company 0", "Company 1"]
+    assert cards[0]["company_url"] == "/review/c0"
+    assert cards[0]["nreviews"] == 1230  # thousands separator stripped
+    assert cards[1]["score"] == 4.1  # comma decimal
+    assert search_card_records(page, limit=1) == cards[:1]
+
+
+def test_search_cards_whole_page_fallback_and_missing_fields():
+    page = "<html><body>" + _card(7, extras=False) + "</body></html>"
+    (card,) = search_card_records(page)
+    assert card["name"] == "Company 7"
+    assert card["score"] is None and card["nreviews"] is None
+    assert card["location"] is None and card["category"] is None
+    assert search_card_records("<p>no cards here</p>") == []
