@@ -80,7 +80,9 @@ spark = get_spark(
 )
 probe = HostProbe()
 probe.start()
-out = bench.crawl_bench(spark, float(os.environ.get("SPARK_GRAFT_SF", "0.1")))
+# crawl_bench returns a list of per-run dicts (N-run median rework);
+# this script takes exactly one run per invocation
+out = bench.crawl_bench(spark, float(os.environ.get("SPARK_GRAFT_SF", "0.1")))[0]
 samples = probe.stop()
 spark.stop()
 time.sleep(0.5)
