@@ -83,7 +83,7 @@ class Tag:
     index ``pos`` and its descendants occupy ``_flat[pos+1:end]``.
     """
 
-    __slots__ = ("name", "attrs", "contents", "_flat", "pos", "end", "_ctoks", "_idx")
+    __slots__ = ("name", "attrs", "contents", "_flat", "pos", "end", "_idx")
 
     def __init__(self, name: str, attrs: dict, flat: list | None = None) -> None:
         self.name = name
@@ -92,7 +92,6 @@ class Tag:
         self._flat = flat if flat is not None else [self]
         self.pos = 0
         self.end = 0
-        self._ctoks = None
         self._idx = None
 
     # -- attribute access ---------------------------------------------------
@@ -105,17 +104,6 @@ class Tag:
 
     def has_attr(self, key: str) -> bool:
         return key in self.attrs
-
-    @property
-    def class_tokens(self) -> list | None:
-        """Whitespace-split ``class`` tokens (bs4 multi-valued view), cached."""
-        toks = self._ctoks
-        if toks is None:
-            raw = self.attrs.get("class")
-            if raw is None:
-                return None
-            toks = self._ctoks = raw.split()
-        return toks
 
     # -- traversal ----------------------------------------------------------
 
@@ -184,7 +172,7 @@ class Tag:
             # back into document order.
             hits = []
             for val, positions in self._doc_index().text_val_pos.items():
-                if _match_str(string, val):
+                if _match_str_memo(string, val):
                     hits.extend(positions)
             hits.sort()
             for p in hits:
@@ -198,6 +186,7 @@ class Tag:
                     return
             return
         callable_name = name is not None and callable(name) and not isinstance(name, str)
+        cls_mkey = _memo_key(class_) if class_ is not None and class_ is not True else None
         candidates = None
         if not callable_name:
             idx = self._doc_index()
@@ -219,7 +208,7 @@ class Tag:
                 # then merge the (document-ordered) position lists.
                 merged = []
                 for val, positions in idx.class_val_pos.items():
-                    if _match_multi(class_, val.split()):
+                    if _match_multi_raw(class_, val, cls_mkey):
                         merged.extend(positions)
                 merged.sort()
                 candidates = merged
@@ -232,8 +221,10 @@ class Tag:
                 if name is not None and not name(node):
                     continue
                 if class_ is not None:
-                    tokens = node.class_tokens
-                    if tokens is None or not _match_multi(class_, tokens):
+                    raw_cls = node.attrs.get("class")
+                    if raw_cls is None or not _match_multi_raw(
+                        class_, raw_cls, cls_mkey
+                    ):
                         continue
                 if attrs and not _match_attrs(node, attrs):
                     continue
@@ -251,8 +242,10 @@ class Tag:
             if name is not None and node.name != name:
                 continue
             if class_ is not None:
-                tokens = node.class_tokens
-                if tokens is None or not _match_multi(class_, tokens):
+                raw_cls = node.attrs.get("class")
+                if raw_cls is None or not _match_multi_raw(
+                    class_, raw_cls, cls_mkey
+                ):
                     continue
             if attrs and not _match_attrs(node, attrs):
                 continue
@@ -365,10 +358,74 @@ def _match_attr_value(matcher, value) -> bool:
 def _match_multi(matcher, tokens: list) -> bool:
     # bs4 multi-valued attribute rule: any individual token, then the
     # normalized whole string.
+    search = getattr(matcher, "search", None)
+    if search is not None and not isinstance(matcher, str):
+        for t in tokens:
+            if search(t) is not None:
+                return True
+        return search(" ".join(tokens)) is not None
     for t in tokens:
         if _match_attr_value(matcher, t):
             return True
     return _match_attr_value(matcher, " ".join(tokens))
+
+
+# Cross-document matcher memo. SSR markup repeats the same class strings /
+# short text runs across every page of a site, and the extraction UDF's
+# matchers are module-level constants — so (matcher, value) pairs recur
+# millions of times over an executor's lifetime while the distinct set stays
+# tiny. Keys are VALUE-based (regex pattern+flags, or the plain string
+# matcher itself), never object identity, so semantically equal matchers
+# share entries and temporaries cannot poison the cache via id reuse.
+# Callable matchers get no value key and fall through unmemoized.
+_MATCH_MEMO: dict = {}
+_MATCH_MEMO_MAX = 1 << 20  # hard bound; clears (never evicts) past this
+
+
+def _memo_key(matcher):
+    if isinstance(matcher, str):
+        return matcher
+    patt = getattr(matcher, "pattern", None)
+    if patt is not None and hasattr(matcher, "search"):
+        return (patt, matcher.flags)
+    return None
+
+
+def _match_multi_raw(matcher, raw: str, mkey=False) -> bool:
+    """Memoized bs4 multi-valued match against a raw (unsplit) attr string.
+
+    ``mkey`` lets per-candidate loops hoist the :func:`_memo_key`
+    computation (``False`` = not computed yet; ``None`` = unmemoizable).
+    """
+    if matcher is True:
+        return True
+    if mkey is False:
+        mkey = _memo_key(matcher)
+    if mkey is None:
+        return _match_multi(matcher, raw.split())
+    key = (mkey, True, raw)
+    hit = _MATCH_MEMO.get(key)
+    if hit is None:
+        if len(_MATCH_MEMO) >= _MATCH_MEMO_MAX:
+            _MATCH_MEMO.clear()
+        hit = _MATCH_MEMO[key] = _match_multi(matcher, raw.split())
+    return hit
+
+
+def _match_str_memo(matcher, text: str) -> bool:
+    """Memoized ``_match_str`` (text-node search path)."""
+    if isinstance(matcher, str):
+        return text == matcher
+    mkey = _memo_key(matcher)
+    if mkey is None:
+        return _match_str(matcher, text)
+    key = (mkey, False, text)
+    hit = _MATCH_MEMO.get(key)
+    if hit is None:
+        if len(_MATCH_MEMO) >= _MATCH_MEMO_MAX:
+            _MATCH_MEMO.clear()
+        hit = _MATCH_MEMO[key] = _match_str(matcher, text)
+    return hit
 
 
 def _match_attrs(tag: Tag, attrs: dict) -> bool:
@@ -378,7 +435,7 @@ def _match_attrs(tag: Tag, attrs: dict) -> bool:
         if got is None:
             return False
         if key in _MULTI_VALUED:
-            if not _match_multi(want, got.split()):
+            if not _match_multi_raw(want, got):
                 return False
         elif not _match_attr_value(want, got):
             return False

@@ -166,3 +166,69 @@ def test_fast_backend_edge_cases():
     ]
     for markup in cases:
         assert _dom_sig(parse_stdlib(markup)) == _dom_sig(parse_fast(markup)), markup
+
+
+def test_matcher_memo_semantics():
+    """The cross-document matcher memo must key by VALUE (pattern+flags /
+    plain string), so semantically equal matchers share entries and every
+    bs4 matching rule still holds through the cache."""
+    import re
+
+    from fakepilot_spark import htmlmini
+    from fakepilot_spark.htmlmini import parse
+
+    dom = parse(
+        "<div class='styles_row__a x'>one</div>"
+        "<div class='other'>two</div>"
+        "<p class='styles_row__b'>three</p>"
+        "<span id='target7'>four</span>"
+        "<a rel='nofollow noopener'>five</a>"
+    )
+    # regex class_: two distinct-but-equal compiled objects share the memo
+    hits1 = [t.name for t in dom.find_all(class_=re.compile("styles_row"))]
+    hits2 = [t.name for t in dom.find_all(class_=re.compile("styles_row"))]
+    assert hits1 == hits2 == ["div", "p"]
+    # plain-string class_ must match a single token (bs4 multi-valued rule)
+    assert dom.find(class_="x").name == "div"
+    # ...and the whole normalized string
+    assert dom.find(class_="styles_row__a x").name == "div"
+    assert dom.find(class_="styles_row__a") is not None
+    # class_=True: any tag carrying a class attribute
+    assert len(dom.find_all(class_=True)) == 3
+    # duck-typed .search matchers (bs4 accepts anything regex-shaped) have
+    # no value key, so they bypass the memo and must still work
+    class _Contains:
+        def __init__(self, needle):
+            self.needle = needle
+
+        def search(self, s):
+            return self if self.needle in s else None
+
+    assert dom.find(class_=_Contains("other")).string == "two"
+    assert dom.find(string=_Contains("thre")) is not None
+    # regex on a non-multi-valued attr (single-string compare path)
+    assert dom.find(attrs={"id": re.compile(r"target\d")}).name == "span"
+    # regex on a multi-valued attr other than class
+    assert dom.find(attrs={"rel": re.compile("^noopener$")}).name == "a"
+    # string= regex searches go through the memo too
+    assert dom.find(string=re.compile("thre")) is not None
+    assert dom.find(string="four") is not None
+    # flags are part of the key: IGNORECASE and plain must not collide
+    assert dom.find(class_=re.compile("STYLES_ROW")) is None
+    assert dom.find(class_=re.compile("STYLES_ROW", re.I)) is not None
+
+
+def test_matcher_memo_bounded(monkeypatch):
+    """Past the size bound the memo clears (never evicts) and matching is
+    still correct."""
+    import re
+
+    from fakepilot_spark import htmlmini
+    from fakepilot_spark.htmlmini import parse
+
+    dom = parse("<div class='a b'>x</div><p class='c'>y</p>")
+    monkeypatch.setattr(htmlmini, "_MATCH_MEMO_MAX", 0)
+    monkeypatch.setattr(htmlmini, "_MATCH_MEMO", {})
+    assert dom.find(class_=re.compile("^b$")).name == "div"
+    assert dom.find(string=re.compile("^y$")) is not None
+    assert htmlmini._MATCH_MEMO  # repopulated after each clear
