@@ -20,6 +20,7 @@ def registry():
     from . import (
         crawlops,
         extraction,
+        ivf,
         multimodal,
         relational,
         similarity,
@@ -31,8 +32,8 @@ def registry():
     queries: dict = {}
     oracles: dict = {}
     for mod in (
-        relational, textops, similarity, crawlops, extraction, multimodal,
-        temporal, streamingops,
+        relational, textops, similarity, ivf, crawlops, extraction,
+        multimodal, temporal, streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
