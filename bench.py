@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
     "embedding_near_dup_pairs",
+    "embedding_ivf_topk",
     "media_feature_profile",
     "stream_user_totals",
     "asof_order_before_event",
