@@ -601,12 +601,49 @@ def _decode_text(segment: str) -> str:
 # Well-formed start tags take this single-regex fast lane; anything it does
 # not match falls back to the stdlib-regex path below (identical semantics).
 _FAST_START = _re.compile(
+    # the (?!['"]) lookahead mirrors stdlib locatestarttagend_tolerant: an
+    # unquoted value must not START with a quote — `title="q>` is an
+    # INCOMPLETE tag (unterminated quote), not a value '"q'. Without it the
+    # fast lane both diverges from the stdlib backend at EOF and caches
+    # extendable tokens (see _SAFE_TOKEN).
     r"<([a-zA-Z][-.:0-9_a-zA-Z]*)"
-    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"])[^\s>]*))?)*)"
     r"\s*(/?)>"
 )
 
+# Cache-safety gate for start-tag tokens. The token cache is keyed by the
+# first-'>' slice, so a cached token must be CONTEXT-FREE: wherever the same
+# character string appears, the tag must really end at that '>'. That fails
+# exactly when a longer tag can sit in an open quote at the token's final
+# '>' — e.g. a page truncated at `<br title="q` caches `<br title="q>` (the
+# lone '"' parses as an unquoted value), which then poisons
+# `<br title="q>t">` in a LATER page of the same worker. Tokens pass this
+# gate only when every quote character is a delimiter of a complete quoted
+# value (names and unquoted values quote-free) and quoted values contain no
+# '>': then any occurrence of the token closes all quotes before its final
+# '>', so no context can extend it. Checked once per cache INSERT, never on
+# hits.
+_SAFE_TOKEN = _re.compile(
+    r"<[a-zA-Z][-.:0-9_a-zA-Z]*"
+    r"(?:\s+[^\s/>=\"']+(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>\"']*))?)*"
+    r"\s*/?>\Z"
+)
+
 _MARKED_CLOSE = _re.compile(r"]\s*]\s*>")  # stdlib _markupbase marked-section close
+
+# rawtext exit per html.parser set_cdata_mode: `</\s*name\s*>`, re.I
+_RAWTEXT_CLOSE = {
+    "script": _re.compile(r"</\s*script\s*>", _re.I),
+    "style": _re.compile(r"</\s*style\s*>", _re.I),
+}
+
+# _markupbase marked-section machinery (parse_marked_section/_scan_name):
+# section name, the standard ]]> close, and the MS-Office ]> close used by
+# the <![if/else/endif]> conditional-comment keywords.
+_DECLNAME = _re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_MARKED_CLOSE = _re.compile(r"]\s*>")
+_MARKED_STD_KEYWORDS = frozenset(("temp", "cdata", "ignore", "include", "rcdata"))
+_MARKED_MS_KEYWORDS = frozenset(("if", "else", "endif"))
 
 # SSR markup repeats identical attribute blobs (class strings) thousands of
 # times per page — memoize blob → attrs dict. Tags share the cached dict;
@@ -685,7 +722,6 @@ def parse_fast(markup) -> Tag:
     root = Tag("[document]", {}, flat)
     flat.append(root)
     stack = [root]
-    low = None  # lazily lowercased copy for raw-text end scans
     find = s.find
     startswith = s.startswith
 
@@ -710,6 +746,21 @@ def parse_fast(markup) -> Tag:
         node = _strnode(segment, kind)
         flat.append(node)
         stack[-1].contents.append(node)
+
+    def eof_recover(lt: int) -> int:
+        """stdlib ``goahead`` incomplete-construct recovery: consume to the
+        next '>' (inclusive), else the next '<', else one char; emit that
+        span as decoded data and RESUME tokenizing — the stdlib never
+        flushes the whole remainder when a later construct could parse."""
+        k = find(">", lt + 1)
+        if k >= 0:
+            k += 1
+        else:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        emit_text(_decode_text(s[lt:k]))
+        return k
 
     def close_tag(name: str) -> None:
         if name in _VOID:
@@ -737,7 +788,9 @@ def parse_fast(markup) -> Tag:
             emit_text(_decode_text(s[i:lt]))
         i = lt
         nxt = s[lt + 1 : lt + 2]
-        if nxt and (nxt.isalpha() or nxt == "_"):  # start tag
+        # start tag iff stdlib starttagopen matches: '<' + ASCII letter only
+        # (str.isalpha would admit '<é', which the stdlib emits as data)
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # start tag
             gt = find(">", lt)
             cached = (
                 _START_TOKEN_CACHE.get(s[lt : gt + 1]) if 0 <= gt - lt <= 256 else None
@@ -757,15 +810,17 @@ def parse_fast(markup) -> Tag:
                 selfclosing = fm.group(3) == "/"
                 close = fm.end()
                 if close == gt + 1 and gt - lt <= 256:
-                    if len(_START_TOKEN_CACHE) > 100_000:
-                        _START_TOKEN_CACHE.clear()
-                    _START_TOKEN_CACHE[s[lt:close]] = (name, attrs, selfclosing)
+                    tok = s[lt:close]
+                    if _SAFE_TOKEN.match(tok):
+                        if len(_START_TOKEN_CACHE) > 100_000:
+                            _START_TOKEN_CACHE.clear()
+                        _START_TOKEN_CACHE[tok] = (name, attrs, selfclosing)
             else:
                 # tolerant fallback: exact stdlib-regex semantics
                 m = _locatestart.match(s, lt)
-                if not m:
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                if not m:  # unreachable for '<'+ASCII-letter; defensive
+                    i = eof_recover(lt)
+                    continue
                 endpos = m.end()
                 if startswith("/>", endpos):
                     close = endpos + 2
@@ -774,9 +829,22 @@ def parse_fast(markup) -> Tag:
                     close = endpos + 1
                     selfclosing = False
                 else:
-                    # unterminated at EOF → stdlib emits the remainder as data
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                    # stdlib check_for_whole_start_tag: EOF / a stray
+                    # letter, '=' or '/' → incomplete (goahead recovery);
+                    # any other junk → the tag TRUNCATES at endpos and
+                    # parsing resumes there (the junk becomes data)
+                    nxt2 = s[endpos : endpos + 1]
+                    if (
+                        nxt2 == ""
+                        or nxt2 == "="
+                        or nxt2 == "/"
+                        or "a" <= nxt2 <= "z"
+                        or "A" <= nxt2 <= "Z"
+                    ):
+                        i = eof_recover(lt)
+                        continue
+                    close = endpos
+                    selfclosing = False
                 tm = _tagfind.match(s, lt + 1)
                 name = tm.group(1).lower()
                 k = tm.end()
@@ -806,18 +874,19 @@ def parse_fast(markup) -> Tag:
             else:
                 stack.append(node)
                 if name in ("script", "style"):
-                    # CDATA content mode (html.parser CDATA_CONTENT_ELEMENTS)
-                    if low is None:
-                        low = s.lower()
-                    endm = low.find("</" + name, close)
-                    if endm < 0:
-                        # unterminated rawtext at EOF: stdlib buffers in
-                        # cdata mode and never flushes it — emit nothing
+                    # CDATA content mode: stdlib's `interesting` regex only
+                    # exits on a FULL `</\s*name\s*>` (case-insensitive) —
+                    # a nameless/attributed `</name foo>` stays rawtext,
+                    # and an unterminated tail is buffered forever (never
+                    # flushed at close), i.e. discarded.
+                    mm = _RAWTEXT_CLOSE[name].search(s, close)
+                    if mm is None:
                         close = n
                     else:
-                        if endm > close:
-                            emit_str(s[close:endm], RAWTEXT)
-                        close = endm
+                        if mm.start() > close:
+                            emit_str(s[close : mm.start()], RAWTEXT)
+                        close_tag(name)
+                        close = mm.end()
             i = close
         elif nxt == "/":  # end tag
             m = _endtagfind.match(s, lt)
@@ -827,35 +896,59 @@ def parse_fast(markup) -> Tag:
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                    i = eof_recover(lt)
+                    continue
                 # tolerant: '</ tag junk>' → use tagfind on lt+2
                 tm = _tagfind.match(s, lt + 2)
                 if tm:
                     close_tag(tm.group(1).lower())
+                elif gt > lt + 2:
+                    # no tag name → stdlib parse_bogus_comment emits
+                    # '</xyz>' as comment 'xyz' ('</>' alone emits nothing)
+                    emit_str(s[lt + 2 : gt], COMMENT)
                 i = gt + 1
         elif nxt == "!":
             if startswith("<!--", lt):
                 end = find("-->", lt + 4)
                 if end < 0:
-                    # unterminated at EOF: stdlib flushes the remainder
-                    # (markup included) as unescaped DATA
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                    # unterminated comment: goahead recovery, not a flush
+                    i = eof_recover(lt)
+                    continue
                 emit_str(s[lt + 4 : end], COMMENT)
                 i = end + 3
             elif startswith("<![", lt):
-                mm = _MARKED_CLOSE.search(s, lt + 3)
+                # _markupbase.parse_marked_section, exactly — including the
+                # AssertionErrors html.parser itself raises (bs4 on stdlib
+                # propagates them, so pages that crash the reference crash
+                # identically here; the extraction layer decides policy).
+                nm = _DECLNAME.match(s, lt + 3)
+                if lt + 3 == n or (nm is not None and nm.end() == n):
+                    i = eof_recover(lt)  # _scan_name: buffer ends mid-name
+                    continue
+                if nm is None:
+                    raise AssertionError(
+                        "expected name token at %r" % s[lt : lt + 20]
+                    )
+                sect = nm.group().strip().lower()
+                if sect in _MARKED_STD_KEYWORDS:
+                    mm = _MARKED_CLOSE.search(s, lt + 3)
+                elif sect in _MARKED_MS_KEYWORDS:
+                    mm = _MS_MARKED_CLOSE.search(s, lt + 3)
+                else:
+                    raise AssertionError(
+                        "unknown status keyword %r in marked section"
+                        % s[lt + 3 : nm.end()]
+                    )
                 if not mm:
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                    i = eof_recover(lt)
+                    continue
                 emit_str(s[lt + 3 : mm.start()], DECL)
                 i = mm.end()
             else:
                 gt = find(">", lt)
                 if gt < 0:
-                    emit_text(_decode_text(s[lt:n]))
-                    break
+                    i = eof_recover(lt)
+                    continue
                 body = s[lt + 2 : gt]
                 if body[:7].lower() == "doctype":
                     emit_str(body, DECL)
@@ -866,8 +959,8 @@ def parse_fast(markup) -> Tag:
         elif nxt == "?":
             gt = find(">", lt)
             if gt < 0:
-                emit_text(_decode_text(s[lt:n]))
-                break
+                i = eof_recover(lt)
+                continue
             emit_str(s[lt + 2 : gt], DECL)
             i = gt + 1
         else:
