@@ -26,6 +26,7 @@ def registry():
         similarity,
         temporal,
         textops,
+        webops,
     )
     from ..streaming import ops as streamingops
 
@@ -33,7 +34,7 @@ def registry():
     oracles: dict = {}
     for mod in (
         relational, textops, similarity, ivf, crawlops, extraction,
-        multimodal, temporal, streamingops,
+        multimodal, temporal, webops, streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
