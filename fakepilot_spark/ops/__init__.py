@@ -20,6 +20,7 @@ def registry():
     from . import (
         crawlops,
         extraction,
+        graphops,
         ivf,
         multimodal,
         relational,
@@ -34,7 +35,7 @@ def registry():
     oracles: dict = {}
     for mod in (
         relational, textops, similarity, ivf, crawlops, extraction,
-        multimodal, temporal, webops, streamingops,
+        multimodal, temporal, webops, graphops, streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
