@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "embedding_lsh_buckets",
     "embedding_near_dup_pairs",
     "embedding_ivf_topk",
+    "url_canonicalize",
+    "doc_repetition_profile",
+    "dedup_clusters",
+    "host_pagerank",
     "media_feature_profile",
     "stream_user_totals",
     "asof_order_before_event",
