@@ -18,6 +18,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def registry():
     """Merged (queries, oracles) across all ops modules."""
     from . import (
+        corpusops,
         crawlops,
         extraction,
         graphops,
@@ -35,7 +36,7 @@ def registry():
     oracles: dict = {}
     for mod in (
         relational, textops, similarity, ivf, crawlops, extraction,
-        multimodal, temporal, webops, graphops, streamingops,
+        multimodal, temporal, webops, graphops, corpusops, streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
