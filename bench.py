@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "doc_repetition_profile",
     "dedup_clusters",
     "host_pagerank",
+    "doc_dup_span_coverage",
+    "stratified_sample_sources",
+    "source_cap_sample",
     "media_feature_profile",
     "stream_user_totals",
     "asof_order_before_event",
