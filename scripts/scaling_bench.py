@@ -216,11 +216,22 @@ def collect_pairs(pair, rev=None):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    if "--pair" in argv:
+        argv.pop(argv.index("--pair") + 1)  # drop the flag's value
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     report_only = "--report-only" in sys.argv
+    # --pair small|large: sample attempts for ONE configuration only (the
+    # report still covers both; the other keeps its existing history). Used
+    # when a measurement-path commit resets the same-rev pool and only one
+    # pair needs fresh samples.
+    run_pairs = (PAIR_SMALL, PAIR_LARGE)
+    if "--pair" in sys.argv:
+        which = sys.argv[sys.argv.index("--pair") + 1]
+        run_pairs = (PAIR_SMALL,) if which == "small" else (PAIR_LARGE,)
     ceiling_file = REPO / "BENCH" / "ceiling.json"
     if report_only and ceiling_file.exists():
         ceiling = {int(k): v for k, v in json.loads(ceiling_file.read_text()).items()}
@@ -243,7 +254,7 @@ def main() -> None:
     # pre-gate before launching a pair. The attempt loop stops when
     # TARGET_FAIR_PAIRS fair pairs exist for this revision — a stop
     # criterion independent of any efficiency threshold.
-    for n, four_n, pages in () if report_only else (PAIR_SMALL, PAIR_LARGE):
+    for n, four_n, pages in () if report_only else run_pairs:
         gate = 0.85 if four_n <= 8 else 0.66
         for attempt in range(REPS):
             n_fair = sum(1 for p in collect_pairs((n, four_n, pages), REV) if p["fair"])
