@@ -200,8 +200,104 @@ FROM events
 GROUP BY user_id
 """
 
-QUERIES = {"stream_user_totals": q_stream_user_totals}
-ORACLES = {"stream_user_totals": _SQL_STREAM_USER_TOTALS}
+def q_stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across micro-batches — the Structured
+    Streaming form of the crawl's URL-seen set (``crawl/engine.py``):
+    ``dropDuplicatesWithinWatermark("event_id")`` over a stream whose input
+    has planted cross-batch duplicates.
+
+    Staging plants one exact copy of every ``event_id % 7 == 0`` row with
+    two separate distributed writes into the same stage dir (originals
+    first, copies appended), so a copy NEVER shares a micro-batch file with
+    its original and dedup state must genuinely survive batch boundaries.
+    The
+    surviving row set equals the original table exactly — bitwise, since
+    copies are identical — which is what makes a *streaming* dedup
+    DuckDB-oracle-able.
+
+    Scale shape: ``dropDuplicatesWithinWatermark`` keeps per-key state only
+    for the watermark delay, the production lever that bounds state at
+    10^10 events/day (here the delay exceeds the data's time span, so the
+    semantics are exact dedup while still exercising the watermark-bounded
+    operator).  Emissions land executor-side in a parquet ``foreachBatch``
+    sink; nothing is materialized on the driver.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"dedup:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "fps_sdedup_" + key)
+    marker = os.path.join(stage, "_FPS_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        base = spark.read.parquet(src)
+        (
+            base.repartitionByRange(3, "event_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        (
+            base.filter(F.col("event_id") % 7 == 0)
+            .repartitionByRange(2, "event_id")
+            .write.mode("append")
+            .parquet(stage)
+        )
+        with open(marker, "w"):
+            pass
+
+    outdir = stage + "_out"
+    shutil.rmtree(outdir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="fps_ckpt_")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("append").parquet(outdir)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(outdir)
+
+
+_SQL_STREAM_EVENT_DEDUP = """
+SELECT event_id, ts, user_id, event_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
+
+QUERIES = {
+    "stream_user_totals": q_stream_user_totals,
+    "stream_event_dedup": q_stream_event_dedup,
+}
+ORACLES = {
+    "stream_user_totals": _SQL_STREAM_USER_TOTALS,
+    "stream_event_dedup": _SQL_STREAM_EVENT_DEDUP,
+}
 
 
 def stream_user_running_stats(

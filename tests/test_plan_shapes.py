@@ -80,8 +80,8 @@ def test_crawl_drain_is_two_phase(spark):
 # stream_user_totals executes a streaming job on call (no static plan) and
 # the fixture-extraction queries parse real pages at call time; plan shape
 # for extraction is covered by the synth variants.
-_PLAN_SKIP = {"stream_user_totals", "extract_fixture_companies",
-              "extract_fixture_reviews"}
+_PLAN_SKIP = {"stream_user_totals", "stream_event_dedup",
+              "extract_fixture_companies", "extract_fixture_reviews"}
 
 
 @pytest.mark.parametrize(

@@ -51,3 +51,30 @@ def test_stateful_running_stats(spark, sf_dir, tmp_path_factory):
     assert set(final) == set(want)
     for user_id, (n, _total) in final.items():
         assert n == want[user_id][0]
+
+
+def test_stream_event_dedup_survives_batch_boundaries(spark, sf_dir):
+    """The planted duplicate copies arrive in different micro-batches than
+    their originals; the deduped output must equal the original table
+    exactly (the streaming analogue of the crawl URL-seen gate)."""
+    import glob
+    import os
+    import tempfile
+
+    from fakepilot_spark.streaming.ops import q_stream_event_dedup
+
+    out = q_stream_event_dedup(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_base = base.count()
+    assert out.count() == n_base
+    assert out.select("event_id").distinct().count() == n_base
+
+    # the staged input really contains cross-file duplicates: the copies
+    # were appended as separate files, so staged rows > original rows
+    stages = glob.glob(os.path.join(tempfile.gettempdir(), "fps_sdedup_*"))
+    stages = [s for s in stages if not s.endswith("_out")]
+    assert stages, "stage dir missing"
+    staged = spark.read.parquet(max(stages, key=os.path.getmtime))
+    n_dups = base.filter("event_id % 7 = 0").count()
+    assert n_dups > 0
+    assert staged.count() == n_base + n_dups
