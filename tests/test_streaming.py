@@ -57,7 +57,7 @@ def test_stream_event_dedup_survives_batch_boundaries(spark, sf_dir):
     """The planted duplicate copies arrive in different micro-batches than
     their originals; the deduped output must equal the original table
     exactly (the streaming analogue of the crawl URL-seen gate)."""
-    import glob
+    import hashlib
     import os
     import tempfile
 
@@ -70,11 +70,17 @@ def test_stream_event_dedup_survives_batch_boundaries(spark, sf_dir):
     assert out.select("event_id").distinct().count() == n_base
 
     # the staged input really contains cross-file duplicates: the copies
-    # were appended as separate files, so staged rows > original rows
-    stages = glob.glob(os.path.join(tempfile.gettempdir(), "fps_sdedup_*"))
-    stages = [s for s in stages if not s.endswith("_out")]
-    assert stages, "stage dir missing"
-    staged = spark.read.parquet(max(stages, key=os.path.getmtime))
+    # were appended as separate files, so staged rows > original rows.
+    # Recompute the op's content-keyed stage path (other sf_dirs may have
+    # their own stage dirs in tempdir — never glob).
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"dedup:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), "fps_sdedup_" + key)
+    assert os.path.exists(os.path.join(stage, "_FPS_STAGED")), "stage dir missing"
+    staged = spark.read.parquet(stage)
     n_dups = base.filter("event_id % 7 = 0").count()
     assert n_dups > 0
     assert staged.count() == n_base + n_dups
