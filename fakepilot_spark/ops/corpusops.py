@@ -36,12 +36,13 @@ stages in :mod:`textops` / :mod:`graphops`:
   pushdown to the scan.
 
 * **Per-source cap** — "keep at most N docs per source, deterministically"
-  (FineWeb-style dump balancing): ``row_number`` over
-  ``partitionBy(source).orderBy(hash, doc_id)``.  Parallel across strata
-  (web corpora have ~10^7 sources), so the window never funnels the corpus
-  into one task; a mega-source (10^8 docs under one key) is the documented
-  skew case — the fix is the salted two-phase local-cap → exact-rerank
-  pattern already shipped in ``crawl/politeness.py``.
+  (FineWeb-style dump balancing): two-phase salted rank (the
+  ``crawl/politeness.py`` drain pattern).  Phase 1 ranks within
+  ``(source, salt)`` and keeps each salt's local top-N — so a mega-source
+  (10^8 docs under one key) spreads over ``_CAP_SALTS`` tasks instead of
+  funnelling into one sort; phase 2 computes the exact per-source rank
+  over the ≤ salts·N survivors.  The shape is pinned in
+  ``tests/test_plan_shapes.py``.
 """
 
 from __future__ import annotations
@@ -206,18 +207,46 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 # --------------------------------------------------------------------------
 
 _CAP_N = 10
+_CAP_SALTS = 8  # phase-1 fan-out per stratum; survivors <= _CAP_SALTS * _CAP_N
 
 
 def q_source_cap_sample(spark, sf):
     """Cap every source at ``_CAP_N`` documents, chosen by md5-hash order
     (doc_id tiebreak) so the selection is reproducible and engine-neutral.
-    One per-source window: parallel across strata; see module docstring
-    for the mega-source skew lever."""
+
+    Two-phase salted rank (the ``crawl/politeness.py`` drain pattern): a
+    single ``Window.partitionBy(source)`` funnels a mega-stratum (one 10^9-doc
+    CC dump among ~10^7 sources) into one task's sort.  Phase 1 ranks within
+    ``(source, csalt)`` — ``csalt = xxhash64(doc_id) % _CAP_SALTS`` spreads
+    every stratum over ``_CAP_SALTS`` tasks — and keeps each salt's local
+    top-``_CAP_N``; the global per-source top-``_CAP_N`` is a subset of that
+    union, so the exact phase-2 rank runs over ≤ ``_CAP_SALTS·_CAP_N`` rows
+    per source, never the full stratum.  Result set (and the oracle) is
+    identical to the single-window form.
+    """
     docs = load(spark, sf, "documents")
     h = _hash60(F.col("doc_id").cast("string"))
-    byh = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    salted = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)).alias("csalt"),
+    )
+    # phase 1: per-(source, salt) local top-k prune — bounded output
+    w_salt = Window.partitionBy("source", "csalt").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        salted.withColumn("salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("salt_rank") <= _CAP_N)
+        .drop("salt_rank", "csalt")
+    )
+    # phase 2: exact per-source rank over the <= _CAP_SALTS*_CAP_N survivors
+    byh = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
     return (
-        docs.select(
+        pruned.select(
             "doc_id",
             "source",
             F.row_number().over(byh).cast("bigint").alias("pick_rank"),

@@ -73,7 +73,14 @@ def _synth_dup_edges(spark, sf, max_id: int):
     star = docs.filter((d % _STAR_MOD == 0) & (star_v != d)).select(
         d.alias("u"), star_v.alias("v")
     )
-    base = chain.unionAll(star)
+    # arithmetic targets can be phantom doc_ids when the id space is not
+    # contiguous; the label propagation has no label row for a phantom while
+    # a recursive closure would happily route through it — semi-join the
+    # synthesized endpoint against documents (mirrored in the SQL oracle) so
+    # both engines see the identical edge set on ANY id distribution
+    base = chain.unionAll(star).join(
+        docs.select(F.col("doc_id").alias("v")), "v", "left_semi"
+    )
     # symmetrize + dedupe: propagation below walks edges in one direction only
     return (
         base.select("u", "v")
@@ -146,7 +153,7 @@ def q_dedup_clusters(spark, sf):
 _SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE mx AS (
   SELECT MAX(doc_id) AS m FROM documents
-), base AS (
+), base0 AS (
   SELECT doc_id AS u, doc_id + 1 AS v FROM documents, mx
   WHERE doc_id % {_CHAIN_MOD} < {_CHAIN_LT} AND doc_id + 1 <= m
   UNION ALL
@@ -154,6 +161,10 @@ WITH RECURSIVE mx AS (
   FROM documents, mx
   WHERE doc_id % {_STAR_MOD} = 0
     AND (doc_id * {_STAR_MUL} + {_STAR_ADD}) % (m + 1) <> doc_id
+), base AS (
+  -- drop phantom endpoints (non-existent doc_ids), mirroring the Spark
+  -- semi-join: closure must not route through nodes that have no label row
+  SELECT u, v FROM base0 WHERE v IN (SELECT doc_id FROM documents)
 ), edges AS (
   SELECT u AS src, v AS dst FROM base
   UNION

@@ -134,10 +134,13 @@ _SQL_URL_CANONICALIZE = (
     _SQL_RAW_URL_CTE
     + r"""
 , stripped AS (
+  -- 'g' on every replace: Spark's regexp_replace is always-global, DuckDB's
+  -- default is first-match-only; without the flag a URL carrying two utm_*
+  -- params would canonicalize differently in the two engines
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(
-             raw_url, '#.*$', ''), 'utm_[a-z_]+=[^&]*&', ''),
-             '[?&]utm_[a-z_]+=[^&]*$', '') AS u
+             raw_url, '#.*$', '', 'g'), 'utm_[a-z_]+=[^&]*&', '', 'g'),
+             '[?&]utm_[a-z_]+=[^&]*$', '', 'g') AS u
   FROM raw
 ), split AS (
   SELECT doc_id, u,
@@ -145,9 +148,9 @@ _SQL_URL_CANONICALIZE = (
   FROM stripped
 ), canon AS (
   SELECT doc_id,
-         regexp_replace(lower(prefix), ':443$', '')
+         regexp_replace(lower(prefix), ':443$', '', 'g')
          || regexp_replace(regexp_replace(
-              substring(u, length(prefix) + 1), '/\?', '?'), '/$', '')
+              substring(u, length(prefix) + 1), '/\?', '?', 'g'), '/$', '', 'g')
            AS canonical_url
   FROM split
 )

@@ -177,7 +177,9 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # still running: outdir is partial
+        q.stop()
+        raise RuntimeError("stream_user_totals did not finish within 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     # update-mode emissions: a user's LAST one (max n_events — n is strictly
     # increasing across that user's batches) is the final state
@@ -279,7 +281,9 @@ def q_stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # still running: outdir is partial
+        q.stop()
+        raise RuntimeError("stream_event_dedup did not finish within 300s")
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(outdir)
 

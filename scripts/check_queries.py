@@ -4,7 +4,7 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 the given SF dir, compares row count, column names, and an order-insensitive
 canonicalized value multiset. Exit code != 0 on any mismatch.
 
-Usage: python scripts/check_queries.py [sf_dir] [only_query_name]
+Usage: python scripts/check_queries.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -59,7 +59,7 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     STRICT = "--strict" in sys.argv[1:]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
-    only = argv[1] if len(argv) > 1 else None
+    only = set(argv[1:])  # any number of query names; empty = all
 
     import __spark_entry__ as e
     from fakepilot_spark.session import get_spark
@@ -74,7 +74,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()

@@ -218,7 +218,10 @@ def collect_pairs(pair, rev=None):
 def main() -> None:
     argv = list(sys.argv[1:])
     if "--pair" in argv:
-        argv.pop(argv.index("--pair") + 1)  # drop the flag's value
+        pi = argv.index("--pair")
+        if pi + 1 >= len(argv) or argv[pi + 1] not in ("small", "large"):
+            sys.exit("--pair requires a value: small|large")
+        argv.pop(pi + 1)  # drop the flag's value
     args = [a for a in argv if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"

@@ -77,6 +77,34 @@ def test_crawl_drain_is_two_phase(spark):
     assert "Window" not in plan_fast and "Sort" not in plan_fast
 
 
+def test_source_cap_sample_is_two_phase(spark):
+    """No unsalted per-source window may sort a full stratum: the deepest
+    row_number Window must be partitioned by (source, csalt), and the exact
+    per-source rank must consume only the salted prune's survivors."""
+    from fakepilot_spark.ops.corpusops import q_source_cap_sample
+
+    plan = _plan(q_source_cap_sample(spark, SF_DIR))
+    assert "xxhash64" in plan and "csalt" in plan
+    window_lines = [
+        ln for ln in plan.splitlines() if "Window [row_number" in ln
+    ]
+    # parents print before children: the LAST window line is the one closest
+    # to the scan — it must be the salt-partitioned local top-k
+    assert "csalt" in window_lines[-1], (
+        "deepest Window must partition by (source, csalt), not source alone"
+    )
+    # every unsalted per-source rank (Window or the WindowGroupLimit/
+    # TakeOrdered rewrite) must sit ABOVE the salted prune in the tree
+    for op in ("TakeOrderedAndProject",):
+        if op in plan:
+            assert "csalt" in plan[plan.index(op):]
+    unsalted = [ln for ln in window_lines if "csalt" not in ln]
+    for ln in unsalted:
+        assert plan.index(ln) < plan.index(window_lines[-1]), (
+            "exact per-source rank must consume the salted prune"
+        )
+
+
 # stream_user_totals executes a streaming job on call (no static plan) and
 # the fixture-extraction queries parse real pages at call time; plan shape
 # for extraction is covered by the synth variants.
