@@ -37,7 +37,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Every timing reported is the MEDIAN of N in-session repeats (corpus
 # materialization, warmup and JVM startup are paid once, so repeats are
 # cheap); per-run values ship in "per_run" so a reader can see the spread.
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# default 3 (round-3 verdict task 7): a 2-run median is an average and
+# cannot reject a single degraded host window; 3 runs can.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # queries timed in the relational/ops section of the headline suite
 BENCH_QUERIES = [
@@ -58,6 +60,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "doc_repetition_profile",
     "dedup_clusters",
+    "dedup_clusters_minhash",
     "host_pagerank",
     "doc_dup_span_coverage",
     "stratified_sample_sources",

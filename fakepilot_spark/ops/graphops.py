@@ -90,17 +90,14 @@ def _synth_dup_edges(spark, sf, max_id: int):
     )
 
 
-def q_dedup_clusters(spark, sf):
-    """Per-document duplicate-cluster assignment: cluster_id = the minimum
-    doc_id reachable in the near-dup pair graph; singletons keep themselves.
-
-    Min-label propagation with pointer jumping; see the module docstring for
-    the round structure and scale notes.  ``is_canonical`` marks the one
-    document per cluster a dedup pipeline would keep.
-    """
-    docs = load(spark, sf, "documents").select("doc_id")
-    max_id = docs.agg(F.max("doc_id")).first()[0]  # scalar metadata
-    edges = _synth_dup_edges(spark, sf, max_id).persist()
+def _connected_components(docs, edges):
+    """Min-label propagation with pointer jumping over a symmetrized
+    ``(src, dst)`` edge DataFrame; see the module docstring for the round
+    structure and scale notes.  Returns ``(doc_id, cluster_id,
+    is_canonical)`` — cluster_id = minimum doc_id reachable; singletons
+    keep themselves.  ``edges`` is persisted/materialized here and
+    unpersisted before returning."""
+    edges = edges.persist()
     edges.count()  # materialize once; reused every round
 
     labels = docs.select(
@@ -150,6 +147,36 @@ def q_dedup_clusters(spark, sf):
     return out
 
 
+def q_dedup_clusters(spark, sf):
+    """Per-document duplicate-cluster assignment over the *synthetic*
+    arithmetic edge list (multi-round chains + long-range merges — the shape
+    that exercises pointer jumping); ``is_canonical`` marks the one document
+    per cluster a dedup pipeline would keep."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    max_id = docs.agg(F.max("doc_id")).first()[0]  # scalar metadata
+    return _connected_components(docs, _synth_dup_edges(spark, sf, max_id))
+
+
+def q_dedup_clusters_minhash(spark, sf):
+    """End-to-end near-dup dedup: the component machinery chained over the
+    REAL ``minhash_lsh_pairs`` output — the pipeline a corpus freeze
+    actually runs (shingle → minhash → band → candidate pairs → connected
+    components → canonical keep).  Same label-propagation rounds as
+    :func:`q_dedup_clusters`; the edge list is the LSH candidate-pair set
+    instead of synthetic arithmetic, so the oracle embeds the minhash pair
+    SQL as the edge CTE of the recursive closure."""
+    from .textops import q_minhash_lsh_pairs
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return _connected_components(docs, edges)
+
+
 _SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE mx AS (
   SELECT MAX(doc_id) AS m FROM documents
@@ -169,6 +196,32 @@ WITH RECURSIVE mx AS (
   SELECT u AS src, v AS dst FROM base
   UNION
   SELECT v AS src, u AS dst FROM base
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node AS doc_id,
+       MIN(r) AS cluster_id,
+       MIN(r) = node AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+def _dedup_clusters_minhash_sql() -> str:
+    """Recursive transitive closure with the minhash candidate-pair SQL
+    (the same generator the ``minhash_lsh_pairs`` oracle uses, at the same
+    derived band count) embedded as the edge CTE."""
+    from .textops import _sql_minhash_pairs
+
+    return f"""
+WITH RECURSIVE pairs AS (
+{_sql_minhash_pairs()}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
 ), reach(node, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -308,10 +361,12 @@ _SQL_HOST_PAGERANK = _pagerank_sql()
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_minhash": q_dedup_clusters_minhash,
     "host_pagerank": q_host_pagerank,
 }
 
 ORACLES = {
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_minhash": _dedup_clusters_minhash_sql(),
     "host_pagerank": _SQL_HOST_PAGERANK,
 }

@@ -233,13 +233,31 @@ WHERE ROUND(n_common / (sa.n_toks + sb.n_toks - n_common), 4) >= 0.9
 # which also makes the pair set fully DuckDB-oracleable.
 #
 # Scale note: candidate pairs ∝ band-key collisions, not n². The band count
-# is a parameter (`bands`): more bands → wider keys are NOT the lever; fewer
-# rows per band → higher recall / more candidates. At 10^9+ docs keep
-# rows-per-band ≥ 4 so band keys stay selective (key space ~ M^rows).
+# DERIVES from corpus size (same discipline as _simhash_params_for and
+# similarity._planes_for): expected random band-key collisions grow as
+# b·n²/M^r (r = rows per band, M the per-row value space), so past
+# _LSH_WIDEN_AT docs the derivation halves the band count — r: 4 → 8 rows —
+# which squares the per-band key space (Jaccard knee (1/b)^(1/r):
+# 0.59 → 0.84, the precision-leaning regime a 10^9-doc corpus needs to keep
+# the candidate set subquadratic). Both engines derive identically; the SQL
+# generator below takes the same parameter.
 # --------------------------------------------------------------------------
 
 _MINHASH_PERMS = 32
-_LSH_BANDS = 8  # 4 rows per band
+_LSH_BANDS = 8  # narrow-regime default: 4 rows per band, t ≈ 0.59
+_LSH_WIDEN_AT = 1 << 20  # ≈1M docs: switch to 4 bands × 8 rows, t ≈ 0.84
+
+
+def _minhash_bands_for(n_docs: int) -> int:
+    """Band count for a corpus of ``n_docs`` — see scale note above.
+
+    Covers every driver SF in the narrow regime (the module-level ORACLE is
+    generated at ``_LSH_BANDS``); the wide regime is parity-tested against
+    the same generator in ``tests/test_lsh_autoscale.py``.
+    """
+    if n_docs <= _LSH_WIDEN_AT:
+        return _LSH_BANDS
+    return 4
 _MH_PRIME = 2147483647  # 2^31 - 1: products a*h stay < 2^62 (no overflow)
 # affine permutation constants, shared verbatim with the SQL oracle
 _MH_A = [1 + (j * 2654435761) % (_MH_PRIME - 1) for j in range(_MINHASH_PERMS)]
@@ -294,12 +312,15 @@ def _minhash_sigs_df(spark, sf):
     )
 
 
-def q_minhash_lsh_pairs(spark, sf, bands: int = _LSH_BANDS):
+def q_minhash_lsh_pairs(spark, sf, bands: int | None = None):
     # candidate pairs come from a groupBy(band_key) + in-group pair
     # expansion, NOT a self-join: a self-join would execute the signature
     # pipeline twice (Spark cannot reuse an exchange into a broadcast), and
     # band-collision groups are small by construction so the in-group
-    # expansion is bounded.
+    # expansion is bounded. Band count derives from corpus size unless
+    # pinned (tests exercise the wide path directly).
+    if bands is None:
+        bands = _minhash_bands_for(load(spark, sf, "documents").count())
     rows_per_band = _MINHASH_PERMS // bands
     sigs = _minhash_sigs_df(spark, sf)
     banded = sigs.select(

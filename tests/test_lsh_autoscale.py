@@ -21,8 +21,12 @@ from fakepilot_spark.ops.similarity import (
     q_embedding_lsh_buckets,
 )
 from fakepilot_spark.ops.textops import (
+    _LSH_BANDS,
+    _minhash_bands_for,
     _simhash_params_for,
+    _sql_minhash_pairs,
     _sql_simhash_pairs,
+    q_minhash_lsh_pairs,
     q_simhash_near_pairs,
 )
 
@@ -47,6 +51,46 @@ def test_simhash_params_formula():
     assert _simhash_params_for(262_144) == (64, 4)
     assert _simhash_params_for(262_145) == (128, 8)
     assert _simhash_params_for(10**9) == (128, 8)
+
+
+def test_minhash_bands_formula():
+    # narrow (recall-leaning) regime covers every driver SF …
+    assert _minhash_bands_for(500) == _LSH_BANDS
+    assert _minhash_bands_for(1 << 20) == _LSH_BANDS
+    # … and the derivation halves the band count (8 rows per band, squared
+    # per-band key space) once corpus size crosses the collision knee
+    assert _minhash_bands_for((1 << 20) + 1) == 4
+    assert _minhash_bands_for(10**9) == 4
+
+
+def test_minhash_wide_bands_match_oracle(spark):
+    """The 4-band / 8-row regime (what _minhash_bands_for derives past ~1M
+    docs) must agree with the parameterized DuckDB generator exactly, just
+    as the narrow path does at the driver gate."""
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in q_minhash_lsh_pairs(spark, SF001, bands=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF001}/documents.parquet'"
+    )
+    want = sorted(
+        (a, b) for a, b in con.execute(_sql_minhash_pairs(4)).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the precision-leaning cut keeps the planted dups
+
+
+def test_minhash_derived_defaults_match_pinned(spark):
+    """At test-corpus size the derivation must reproduce the narrow regime
+    the driver oracle is generated for."""
+    derived = q_minhash_lsh_pairs(spark, SF001)
+    pinned = q_minhash_lsh_pairs(spark, SF001, bands=_LSH_BANDS)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
 
 
 def _candidate_pairs(spark, sf: str) -> int:
