@@ -197,7 +197,7 @@ def _rating_distribution(dom: Tag):
                 bar = row.find(class_=_RX_BAR_VALUE)
                 pct = bar.attrs["style"].split(":")[-1].rstrip("%")
                 dist[star] = float(pct)
-    if any(dist):
+    if any(dist):  # pragma: no branch — false side unreachable, see below
         return dist
     return None  # pragma: no cover — unreachable by construction, like the reference: any() iterates the dict's 1..5 integer KEYS (always truthy), xray.py:169-171
 

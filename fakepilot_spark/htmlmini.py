@@ -690,7 +690,10 @@ def _parse_attr_blob(blob: str) -> dict:
     end = len(blob)
     while k < end:
         m = _attrfind.match(blob, k)
-        if not m:
+        # pragma: no branch — blobs come only from _FAST_START group(2),
+        # whose attr alternatives are a strict subset of attrfind_tolerant's
+        # (names exclude '='); the tolerant matcher cannot fail on them
+        if not m:  # pragma: no branch
             break
         attrname, rest, attrvalue = m.group(1, 2, 3)
         if not rest:
@@ -818,7 +821,10 @@ def parse_fast(markup) -> Tag:
             else:
                 # tolerant fallback: exact stdlib-regex semantics
                 m = _locatestart.match(s, lt)
-                if not m:  # unreachable for '<'+ASCII-letter; defensive
+                # pragma: no branch — locatestarttagend_tolerant always
+                # matches at '<'+ASCII-letter (every group after the name is
+                # optional); defensive
+                if not m:  # pragma: no branch
                     i = eof_recover(lt)
                     continue
                 endpos = m.end()
@@ -831,8 +837,9 @@ def parse_fast(markup) -> Tag:
                 else:
                     # stdlib check_for_whole_start_tag: EOF / a stray
                     # letter, '=' or '/' → incomplete (goahead recovery);
-                    # any other junk → the tag TRUNCATES at endpos and
-                    # parsing resumes there (the junk becomes data)
+                    # any other junk → parse_starttag emits the truncated
+                    # span rawdata[i:endpos] RAW as data (no charref
+                    # decode) and resumes at endpos — NOT a parsed tag
                     nxt2 = s[endpos : endpos + 1]
                     if (
                         nxt2 == ""
@@ -843,15 +850,20 @@ def parse_fast(markup) -> Tag:
                     ):
                         i = eof_recover(lt)
                         continue
-                    close = endpos
-                    selfclosing = False
+                    emit_text(s[lt:endpos])
+                    i = endpos
+                    continue
                 tm = _tagfind.match(s, lt + 1)
                 name = tm.group(1).lower()
                 k = tm.end()
                 attrs = {}
                 while k < endpos:
                     am = _attrfind.match(s, k)
-                    if not am:
+                    # pragma: no branch — mirrors stdlib parse_starttag's
+                    # own loop guard; attrfind_tolerant accepts any residue
+                    # locatestarttagend_tolerant admitted before endpos
+                    # (probed: commas/NUL/junk all match as tolerant names)
+                    if not am:  # pragma: no branch
                         break
                     attrname, rest, attrvalue = am.group(1, 2, 3)
                     if not rest:

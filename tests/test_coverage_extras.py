@@ -49,6 +49,33 @@ MALFORMED = [
     "<" + "a" * 300 + " href='x'>big</" + "a" * 300 + ">",  # >256-char token skips the start-token cache
     "<p/>selfclosed",
     "<ul><li>a<li>b</ul>",  # implied closes stay open (stdlib semantics)
+    # round-4 branch-coverage additions (scripts/coverage_gate.py --list-misses)
+    "<a b=c ~>tail",  # junk after attrs: tag truncates at endpos, junk = data
+    "<div % >x",  # junk right after the name
+    "<a b='v' ^junk>t</a>",  # quoted attr then junk -> truncate path
+    "<a b=1/",  # '/' after attr at EOF -> incomplete (goahead recovery)
+    "<a b=1=",  # '=' after attr at EOF -> incomplete
+    "<a b=1 c",  # stray letter at EOF -> incomplete
+    "</@bogus>x",  # end tag with no name -> bogus comment emission
+    "</>x",  # '</>' emits nothing at all
+    "<a\tb=c>x</a>",  # tab inside tag: unsafe for the fast-token cache
+    '<a b="v<w">x</a>',  # '<' inside attr value: unsafe for the fast token
+    "<a b c=2>x</a>",  # valueless attr mid-list (rest empty -> "")
+    "<a b='1'c=2/>x",  # no-space attrs: fast lane refuses, tolerant '/>'
+    "<a b='1'c=2>x</a>",  # same, plain '>' close in the tolerant lane
+    '<a b=">x more',  # value opens a quote, never closes: incomplete ('=')
+    "<a/",  # bare '/' at EOF: incomplete
+    "<a b='1',x",  # comma then letter at EOF: incomplete (stray letter)
+    "<a b='1',1>x",  # comma then junk: tag truncates, rest becomes data
+    "<![if gte IE]>ms<![endif]>",  # MS conditional marked section
+    "<![",  # marked-section opener at EOF (scan_name mid-buffer)
+    "<![CDATA",  # keyword ends exactly at EOF
+    "<a b='1'c/>x",  # no-space attrs, tolerant '/>' self-close
+    "<a b='&amp;1'c=2>x",  # charref attr value in the tolerant lane
+    "<a b='1'b='2'c=3>x",  # duplicate attr key: first wins (stdlib)
+    "<a\x00>x",  # NUL stops the tag name: TRUNCATED tag emitted raw as data
+    "<a\x00 b=c>x",  # same, with attr-looking residue
+    "<a\x00b='&amp;'>x",  # truncated span is NOT charref-decoded
 ]
 
 
@@ -265,3 +292,131 @@ def test_month_day_year_matches_strptime(v):
 def test_month_day_year_rejects_what_strptime_rejects(v):
     with pytest.raises(ValueError):
         _parse_month_day_year(v)
+
+
+@pytest.mark.parametrize(
+    "v",
+    [
+        "2023-07-04T12:34:56.1234567Z",  # 7-digit fraction (%f caps at 6)
+        "2023-07-04T12:34:56.12aZ",      # non-digit fraction
+        "2023-07-04T12:34:56.Z",         # empty fraction (%f needs >= 1)
+    ],
+)
+def test_iso_millis_bad_fraction_falls_back_like_strptime(v):
+    # passes the positional prefix checks, fails the fraction gate -> the
+    # strptime fallback must raise exactly as the reference's strptime does
+    with pytest.raises(ValueError):
+        _parse_iso_millis(v)
+
+
+# -- rating-distribution / entry-point branches ------------------------------
+
+
+def test_rating_distribution_partial_star_rows():
+    from fakepilot_spark.extract.fields import _rating_distribution
+
+    html = (
+        "<div class='styles_businessInfoSideBar__z'>"
+        "<div data-star-rating='two'>"
+        "<div class='rating-distribution-row_barValue__q' style='width:12%'>"
+        "</div></div></div>"
+    )
+    dist = _rating_distribution(parse(html))
+    # present row parsed, absent star words stay None (row lookup misses)
+    assert dist == {1: None, 2: 12.0, 3: None, 4: None, 5: None}
+
+
+def test_extract_page_without_reviews():
+    import zipfile
+
+    from fakepilot_spark.extract.fields import extract_page
+
+    with zipfile.ZipFile("/root/repo/tests/data/text_files.zip") as zf:
+        html = zf.read("www.granada.no.txt").decode("utf-8")
+    record = extract_page(html, with_reviews=False)
+    assert "reviews" not in record and record["name"]
+
+
+# -- doc-index traversal branches (round-4 branch gate) -----------------------
+
+SPAN_DOC = (
+    "<html><body>"
+    "<div id='a' class='x'><p>one</p></div>"
+    "<div id='b' class='x'><p>one</p></div>"
+    "<a href='/r'>link</a>"
+    "</body></html>"
+)
+
+
+def test_subtree_find_prunes_hits_after_span_end():
+    dom = parse(SPAN_DOC)
+    first = dom.find(attrs={"id": "a"})
+    # the second "one" and the href posting sit AFTER the subtree span:
+    # the index walks must break at hi, not scan to document end
+    assert len(first.find_all(string="one")) == 1
+    assert first.find_all(attrs={"href": "/r"}) == []
+    assert len(dom.find_all(string="one")) == 2
+
+
+def test_multi_attr_candidates_and_mismatches():
+    dom = parse(DOC)
+    # two attr keys: candidate list = the rarer key's postings; the <a href>
+    # node lacks 'id' entirely (got-None reject) and the second key's
+    # posting list is not shorter (keeps the first candidate list)
+    assert dom.find_all(attrs={"href": "/r", "id": "a"}) == []
+    # multi-valued 'class' key inside _match_attrs, match and mismatch
+    assert dom.find(attrs={"class": "x", "id": "a"})["id"] == "a"
+    assert dom.find_all(attrs={"class": "zzz", "id": "a"}) == []
+    # name-driven scan with an attrs mismatch on the candidate
+    assert dom.find_all("a", attrs={"href": "/nope"}) == []
+    # class-driven scan with an attrs mismatch
+    assert dom.find_all(class_="x", attrs={"id": "zzz"}) == []
+
+
+def test_exact_string_matcher_non_regex():
+    from fakepilot_spark.htmlmini import _match_str
+
+    assert _match_str("one", "one")
+    assert not _match_str("one", "two")
+
+
+def test_equal_long_texts_are_distinct_index_groups():
+    # long segments bypass the intern cache -> equal VALUES arrive as
+    # distinct objects and the id()-keyed text groups must merge them
+    big = "y" * 10_000
+    dom = parse(f"<p>{big}</p><div>{big}</div>")
+    assert len(dom.find_all(string=big)) == 2
+
+
+@pytest.mark.parametrize(
+    "markup",
+    [
+        "<![ spaced]]>x",     # no name token at the section start
+        "<![bogus kw]]>x",    # name token but unknown status keyword
+    ],
+)
+def test_marked_section_asserts_like_stdlib(markup):
+    # html.parser itself raises AssertionError here; bs4-on-stdlib (the
+    # reference's configuration) propagates it, so both backends must crash
+    # identically rather than recover
+    with pytest.raises(AssertionError):
+        parse_stdlib(markup)
+    with pytest.raises(AssertionError):
+        parse_fast(markup)
+
+
+def test_find_callable_with_attrs_mismatch():
+    dom = parse(DOC)
+    # callable-name scan path with a failing attrs filter
+    assert dom.find_all(lambda t: t.name == "a", attrs={"href": "/nope"}) == []
+    # regex attr values route through the generic posting-list scan (no
+    # value-index fast path), inside and outside a subtree span
+    assert dom.find_all("a", attrs={"href": re.compile("nope")}) == []
+    first = dom.find(attrs={"id": "a"})
+    assert first.find_all(attrs={"href": re.compile(".")}) == []
+    # name mismatch on an attr-selected candidate, and the limit early-out
+    # inside the generic posting-list scan
+    assert dom.find_all("div", attrs={"href": re.compile(".")}) == []
+    # the limit early-out inside the generic posting-list scan
+    # (find() islices instead of passing limit, so request it explicitly)
+    assert dom.find_all(attrs={"id": re.compile(".")}, limit=1)[0]["id"] == "a"
