@@ -23,7 +23,18 @@ Measurement policy (bias-free stopping):
   efficiencies are listed); efficiency is always computed within one
   attempt's back-to-back (N, 4N) runs, never across attempts;
 * history lines carry the git revision; stats only pool runs of the same
-  revision (older revisions measured a different engine).
+  revision (older revisions measured a different engine);
+* when the sandbox allows it (root + cgroup v1 cpu controller), every run's
+  whole process tree (JVM + Python workers) is placed in a cgroup with
+  ``cpu.cfs_quota_us = cpus x period`` — the same containment a real
+  cluster's executor container has. Without the cap a "local[2]" run
+  overdraws the box (JVM service threads + Arrow pipelining push measured
+  utilization to ~1.1), inflating the N-side baseline and structurally
+  deflating measured N→4N efficiency by ~10%. Quota capping has no
+  core-identity bias (unlike the rejected taskset pinning: this VM's
+  low-numbered cores are ~30% slower) because the scheduler still floats
+  the threads across all cores. Runs pool only with runs of the same
+  cap mode (``cg`` field).
 
 A pure-Python CPU burn additionally measures the box's *intrinsic* parallel
 scaling ceiling at each pair: Spark cannot scale better than the hardware it
@@ -108,6 +119,27 @@ def cpu_ceiling(pairs, iters: int = 10_000_000, reps: int = 3) -> dict:
     return best
 
 
+# -- cgroup CPU capping -------------------------------------------------------
+
+_CG_BASE = Path("/sys/fs/cgroup/cpu")
+
+
+def _cg_tasks_file(cpus: int):
+    """Create/refresh a cgroup capping a process tree to ``cpus`` CPUs of
+    quota; returns its tasks file, or None when the sandbox forbids it."""
+    try:
+        d = _CG_BASE / f"spark_graft_cap_{cpus}"
+        d.mkdir(exist_ok=True)
+        period = int((d / "cpu.cfs_period_us").read_text())
+        (d / "cpu.cfs_quota_us").write_text(str(cpus * period))
+        return d / "tasks"
+    except OSError:
+        return None
+
+
+CG_MODE = _cg_tasks_file(2) is not None
+
+
 # -- spark runs ---------------------------------------------------------------
 
 
@@ -123,15 +155,26 @@ def run_crawl(cpus: int, pages: int) -> dict:
     # fixed at the source: get_spark sizes GC/JIT service threads to the
     # task-slot count, like a real cgroup-constrained executor container.
     cmd = [sys.executable, str(REPO / "scripts" / "crawl_only.py"), str(cpus)]
+    # cap the run's whole process tree (JVM + Python workers) to `cpus`
+    # CPUs of cgroup quota — the same containment a real executor container
+    # has; children inherit the cgroup from the preexec'd python process
+    tasks = _cg_tasks_file(cpus)
+    preexec = None
+    if tasks is not None:
+        def preexec():  # runs in the child between fork and exec
+            with open(tasks, "w") as f:
+                f.write(str(os.getpid()))
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, env=env, cwd=str(REPO), check=True,
+        preexec_fn=preexec,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("CRAWL ")][-1]
     r = json.loads(line[len("CRAWL "):])
     r["ts"] = time.time()
     r["pages"] = pages
     r["rev"] = REV
+    r["cg"] = tasks is not None
     return r
 
 
@@ -199,6 +242,10 @@ def collect_pairs(pair, rev=None):
         if r.get("pages") != pages or r.get("cpus") not in (n, four_n):
             continue
         if rev is not None and r.get("rev") != rev:
+            continue
+        # capped and uncapped runs measure different N-side baselines
+        # (see module docstring) — never pool across the cap mode
+        if rev is not None and bool(r.get("cg")) != CG_MODE:
             continue
         if r.get("pair_id"):
             by_pid.setdefault(r["pair_id"], {})[r["cpus"]] = r
@@ -372,8 +419,10 @@ def main() -> None:
                      "attempts; the exclusion rule exists for the degraded "
                      "phases this VM is documented to enter.")
 
+    # --skip-suite: reuse the committed suite medians — pair-resample
+    # invocations don't need to pay the 3x full-suite wall-clock again
     suite_file = REPO / "BENCH" / "suite.json"
-    if report_only and suite_file.exists():
+    if (report_only or "--skip-suite" in sys.argv) and suite_file.exists():
         suite = json.loads(suite_file.read_text())
     else:
         print(f"operator suite at local[32] × {SUITE_RUNS} ...", flush=True)
@@ -398,13 +447,18 @@ Input: deterministic synthetic Trustpilot-style pages corpus, committed once
 as an uncompressed Parquet pages table (Iceberg-style; fixture-realistic
 ~270 KB/page: 25 review cards + tag-soup ballast) + driver tables at
 `{sf_dir}`. Identical committed input within each pair; fresh JVM per run;
-each JVM's GC/JIT service-thread pools are sized to its task-slot count
-(as a cgroup-constrained executor container would be) so a local[2] run
-cannot overdraw whole-box service CPU beside its two task slots. Runs are
+each JVM's GC/JIT service-thread pools are sized to its task-slot count,
+and {"each run's whole process tree (JVM + Python workers) is additionally"
+     " placed in a cgroup with cpu quota = cores x period — the exact"
+     " containment a real cluster's executor container has, so a local[N]"
+     " run CANNOT overdraw the box beside its N task slots"
+     if CG_MODE else
+     "(cgroup capping unavailable in this sandbox run)"}. Runs are
 deliberately NOT core-pinned: a taskset experiment (runs.jsonl, revs
 4e3e7e9/b51e95a) showed this VM's low cores are systematically ~30%
 slower, so pinning adds per-core-identity bias instead of removing
-scheduler noise.
+scheduler noise; a pure quota cap has no core-identity bias because
+threads still float across all cores.
 Efficiency is always computed within ONE attempt's back-to-back (N, 4N) runs
 — never across attempts. Attempts are kept as FAIR only when both runs' own
 metrics (core utilization, flat CPU/URL) show the host behaved (this sandbox
