@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "doc_dup_span_coverage",
     "stratified_sample_sources",
     "source_cap_sample",
+    "eval_decontaminate",
+    "corpus_keep_filter",
     "media_feature_profile",
     "stream_user_totals",
     "asof_order_before_event",

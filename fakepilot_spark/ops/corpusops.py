@@ -35,6 +35,15 @@ stages in :mod:`textops` / :mod:`graphops`:
   freeze shipped.  Map-only — zero shuffles; the predicate survives
   pushdown to the scan.
 
+* **Eval-set decontamination** — the n-gram overlap check every LLM corpus
+  freeze runs against its benchmark suites (GPT-3 appendix C, FineWeb):
+  the holdout's distinct gram set broadcasts (benchmarks are tiny next to
+  the corpus); training grams never shuffle.
+
+* **Composite keep/reject filter** — the one-pass freeze decision
+  combining language, quality, exact-dedup-canonical, and decontamination
+  with fixed reject precedence.
+
 * **Per-source cap** — "keep at most N docs per source, deterministically"
   (FineWeb-style dump balancing): two-phase salted rank (the
   ``crawl/politeness.py`` drain pattern).  Phase 1 ranks within
@@ -51,7 +60,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from . import load
-from .textops import _hash60
+from .textops import _STOPWORD_PATTERN, _hash60
 
 # --------------------------------------------------------------------------
 # Q: duplicated-span coverage (ExactSubstr approximation, Lee et al. 2022).
@@ -270,14 +279,251 @@ WHERE pick_rank <= {_CAP_N}
 """
 
 
+# --------------------------------------------------------------------------
+# Q: eval-set n-gram decontamination (GPT-3 appendix C / FineWeb style).
+# --------------------------------------------------------------------------
+
+_DECON_W = 4  # n-gram width (production pipelines use ~13; the 31-word
+# synthetic vocabulary needs 4 to be non-degenerate — measured 1.6% of
+# training docs contaminated at sf0.01, 14.7% at sf0.1)
+_DECON_EVAL_MOD = 97  # deterministic holdout: doc_id % 97 == 0 is "eval"
+
+
+def _wgram_hashes(docs, W: int):
+    """(doc_id, g) for every width-``W`` token window; ``g`` is the shared
+    60-bit md5 gram hash (:func:`textops._hash60`), so engines agree."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return docs.filter(n >= W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (W - 1)),
+                lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, W))),
+            )
+        ).alias("g"),
+    )
+
+
+def q_eval_decontaminate(spark, sf):
+    """Training-set decontamination: flag every training document that
+    shares any ``_DECON_W``-gram with the eval holdout (``doc_id %
+    _DECON_EVAL_MOD == 0``) — the n-gram overlap check every LLM corpus
+    freeze runs against its benchmark suites (GPT-3 appendix C,
+    FineWeb/RefinedWeb decontamination).
+
+    Plan shape: the eval side is a benchmark suite, orders of magnitude
+    smaller than the corpus (here 1/97 of docs; in production ~10^5 eval
+    docs vs 10^10 training docs), so its distinct gram set is explicitly
+    ``broadcast()`` — the training corpus never shuffles its grams, it
+    streams through a map-side hash join and one partial-aggregated
+    per-doc count.  If a benchmark suite ever outgrew the broadcast
+    threshold the same plan degrades gracefully to a shuffle join keyed
+    by the uniform 60-bit gram hash.
+    """
+    docs = load(spark, sf, "documents")
+    grams = _wgram_hashes(docs, _DECON_W)
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("hit_grams"))
+    )
+    train = docs.filter(~is_eval).select("doc_id")
+    hit = F.coalesce("hit_grams", F.lit(0))
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        hit.cast("bigint").alias("hit_grams"),
+        (hit > 0).alias("contaminated"),
+    )
+
+
+_SQL_EVAL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), w0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {_DECON_W - 1})) AS pos
+  FROM toks WHERE len(t) >= {_DECON_W}
+), wins AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             t[pos:pos + {_DECON_W - 1}], ' ')), 1, 15))::BIGINT AS g
+  FROM w0
+), ev AS (
+  SELECT DISTINCT g FROM wins WHERE doc_id % {_DECON_EVAL_MOD} = 0
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS hit_grams
+  FROM wins JOIN ev USING (g)
+  WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+       COALESCE(h.hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+"""
+
+# --------------------------------------------------------------------------
+# Q: composite corpus keep/reject filter — the one-pass freeze decision.
+# --------------------------------------------------------------------------
+
+_KEEP_MIN_QUALITY = 0.1
+
+
+def q_corpus_keep_filter(spark, sf):
+    """FineWeb-style corpus freeze decision in one query: every *training*
+    document (the eval holdout is excluded from the corpus by definition)
+    gets a single ``verdict`` with fixed precedence —
+    ``non_english`` → ``low_quality`` → ``exact_duplicate`` →
+    ``contaminated`` → ``kept``.
+
+    Composes the registry's own per-signal operators (same formulas as
+    ``doc_langid`` / ``doc_quality`` / ``doc_fingerprint`` /
+    ``eval_decontaminate`` — the oracles cross-check them):
+
+    * language gate: stopword-density heuristic (``pred_lang``);
+    * quality gate: length-blend score < ``_KEEP_MIN_QUALITY``;
+    * exact dedup: keep only the min-``doc_id`` copy per whitespace-
+      normalized md5 fingerprint.  Canonical choice is a partial-aggregated
+      ``groupBy(fp).min(doc_id)`` joined back — never a per-fingerprint
+      window, so a viral page with 10^6 exact copies costs a map-side
+      combine, not one task's sort;
+    * decontamination: any ``_DECON_W``-gram shared with the eval holdout
+      (broadcast join — see :func:`q_eval_decontaminate`).
+
+    The exact-duplicate branch is degenerate at sf0.01 (the synthetic
+    corpus has no exact dups until sf0.1 — 8 there); the other three fire
+    at every SF.
+    """
+    docs = load(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+
+    # same formulas as textops.q_doc_quality / q_doc_langid /
+    # q_doc_fingerprint (their oracles pin the shared semantics)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    quality = F.round(
+        F.least(n_tokens / 300.0, F.lit(1.0)) * 0.7
+        + F.least(F.length("text") / 1500.0, F.lit(1.0)) * 0.3,
+        4,
+    )
+    density = F.round(
+        F.regexp_count(F.col("text"), F.lit(_STOPWORD_PATTERN)) / n_tokens, 4
+    )
+    pred_lang = F.when(density > 0.03, F.lit("en")).otherwise(F.lit("unk"))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+    base = train.select(
+        "doc_id",
+        pred_lang.alias("pred_lang"),
+        quality.alias("quality"),
+        fp.alias("fp"),
+    )
+    first_copy = base.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    hits = (
+        _wgram_hashes(train, _DECON_W)
+        .join(
+            F.broadcast(
+                _wgram_hashes(
+                    docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0),
+                    _DECON_W,
+                )
+                .select("g")
+                .distinct()
+            ),
+            "g",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+
+    j = base.join(first_copy, "fp").join(hits, "doc_id", "left")
+    contaminated = F.coalesce("hit", F.lit(False))
+    verdict = (
+        F.when(F.col("pred_lang") != "en", F.lit("non_english"))
+        .when(F.col("quality") < _KEEP_MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("first_id"), F.lit("exact_duplicate"))
+        .when(contaminated, F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        (F.col("doc_id") == F.col("first_id")).alias("is_first_copy"),
+        contaminated.alias("contaminated"),
+        verdict.alias("verdict"),
+        (verdict == "kept").alias("keep"),
+    )
+
+
+_SQL_CORPUS_KEEP_FILTER = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+), m AS (
+  SELECT doc_id,
+         CASE WHEN ROUND(len(regexp_extract_all(text,
+                      '{_STOPWORD_PATTERN}'))
+                    / len(string_split(text, ' ')), 4) > 0.03
+              THEN 'en' ELSE 'unk' END AS pred_lang,
+         ROUND(LEAST(len(string_split(text, ' ')) / 300.0, 1.0) * 0.7
+               + LEAST(length(text) / 1500.0, 1.0) * 0.3, 4) AS quality,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM train
+), first_copy AS (
+  SELECT fp, MIN(doc_id) AS first_id FROM m GROUP BY fp
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), w0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t) - {_DECON_W - 1})) AS pos
+  FROM toks WHERE len(t) >= {_DECON_W}
+), wins AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             t[pos:pos + {_DECON_W - 1}], ' ')), 1, 15))::BIGINT AS g
+  FROM w0
+), ev AS (
+  SELECT DISTINCT g FROM wins WHERE doc_id % {_DECON_EVAL_MOD} = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM wins JOIN ev USING (g)
+  WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT m.doc_id, m.pred_lang, m.quality,
+       m.doc_id = f.first_id AS is_first_copy,
+       h.doc_id IS NOT NULL AS contaminated,
+       CASE WHEN m.pred_lang <> 'en' THEN 'non_english'
+            WHEN m.quality < {_KEEP_MIN_QUALITY} THEN 'low_quality'
+            WHEN m.doc_id <> f.first_id THEN 'exact_duplicate'
+            WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN m.pred_lang <> 'en' THEN 'non_english'
+            WHEN m.quality < {_KEEP_MIN_QUALITY} THEN 'low_quality'
+            WHEN m.doc_id <> f.first_id THEN 'exact_duplicate'
+            WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END = 'kept' AS keep
+FROM m
+JOIN first_copy f USING (fp)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_dup_span_coverage": q_doc_dup_span_coverage,
     "stratified_sample_sources": q_stratified_sample_sources,
     "source_cap_sample": q_source_cap_sample,
+    "eval_decontaminate": q_eval_decontaminate,
+    "corpus_keep_filter": q_corpus_keep_filter,
 }
 
 ORACLES = {
     "doc_dup_span_coverage": _SQL_DUP_SPAN,
     "stratified_sample_sources": _SQL_STRATIFIED_SAMPLE,
     "source_cap_sample": _SQL_SOURCE_CAP,
+    "eval_decontaminate": _SQL_EVAL_DECONTAMINATE,
+    "corpus_keep_filter": _SQL_CORPUS_KEEP_FILTER,
 }
