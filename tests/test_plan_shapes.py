@@ -105,6 +105,40 @@ def test_source_cap_sample_is_two_phase(spark):
         )
 
 
+def test_eval_decontaminate_broadcasts_eval_grams(spark):
+    """The training corpus never shuffles its grams: the eval-side distinct
+    gram set (tiny next to a 10^10-doc corpus) must arrive via a broadcast
+    hash join, and nothing in the plan may shuffle on the gram key."""
+    from fakepilot_spark.ops.corpusops import q_eval_decontaminate
+
+    plan = _plan(q_eval_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "eval grams must broadcast"
+    # the only gram-keyed shuffle allowed is the eval side's distinct(),
+    # which lives INSIDE the broadcast subtree (benchmarks are tiny); the
+    # streamed training side prints before the BroadcastExchange child, so
+    # any g-exchange above it would be a training-gram shuffle
+    bx = plan.index("BroadcastExchange")
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning(g#" in ln:
+            assert plan.index(ln) > bx, "training grams must never shuffle"
+
+
+def test_corpus_keep_filter_no_window(spark):
+    """Canonical-copy choice must be the partial-aggregated groupBy(fp).min
+    joined back — never a per-fingerprint Window (a viral page with 10^6
+    exact copies would funnel one task's sort); decontamination stays a
+    broadcast join here too."""
+    from fakepilot_spark.ops.corpusops import q_corpus_keep_filter
+
+    plan = _plan(q_corpus_keep_filter(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the fp canonical join carries partial aggregation (map-side combine)
+    assert "partial_min" in plan or "partial_first" in plan or (
+        "HashAggregate" in plan
+    )
+
+
 # stream_user_totals executes a streaming job on call (no static plan) and
 # the fixture-extraction queries parse real pages at call time; plan shape
 # for extraction is covered by the synth variants.
