@@ -30,6 +30,9 @@ any plan):
   the raw ``text`` column.  Scale shape: a single narrow scan→project — no
   shuffle, no UDF, whole-stage codegen over native ``regexp_count`` /
   ``regexp_replace``.
+
+* ``source_mix_weights`` — temperature-resampled (alpha = 0.5) per-source
+  training-mix weights; see its docstring for the sqrt determinism note.
 """
 
 from __future__ import annotations
@@ -187,12 +190,67 @@ FROM scrub_t
 """ % {"email": _PII_EMAIL, "phone": _PII_PHONE, "ip": _PII_IP}
 
 
+# --------------------------------------------------------------------------
+# Q: temperature-resampled source mixing weights (training-mix balancing).
+# --------------------------------------------------------------------------
+
+
+def q_source_mix_weights(spark, sf):
+    """Per-source sampling weights w_s ∝ share_s^0.5, the standard
+    temperature resampling that up-weights small domains in a training mix.
+    alpha is fixed at 0.5 so the power is ``sqrt`` — IEEE-754 requires
+    correctly-rounded sqrt, so Spark and DuckDB agree bit-for-bit (a general
+    ``pow`` is not correctly-rounded and could diverge in the last ulp).
+
+    Scale shape: one partial-agg shuffle on ``source`` (~10^4 strata, never
+    skew-bound because the agg output is one row per source), then two 1-row
+    broadcasts (corpus total, normalizer) — no further shuffle.
+    """
+    docs = load(spark, sf, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    sq = per.crossJoin(F.broadcast(n)).withColumn(
+        "sq", F.sqrt(F.col("n_docs") / F.col("n_total"))
+    )
+    z = sq.agg(F.sum("sq").alias("z"))
+    return sq.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        F.round(F.col("sq") / F.col("z"), 6).alias("weight"),
+        F.round(F.col("sq") / F.col("z") * F.col("n_total"), 0)
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+
+
+_SQL_SOURCE_MIX = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), n AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), sq AS (
+  SELECT source, n_docs, n_total, sqrt(n_docs / n_total) AS sq
+  FROM per CROSS JOIN n
+), z AS (
+  SELECT SUM(sq) AS z FROM sq
+)
+SELECT source, n_docs,
+       ROUND(n_docs / n_total, 6) AS share,
+       ROUND(sq / z.z, 6) AS weight,
+       CAST(ROUND(sq / z.z * n_total, 0) AS BIGINT) AS target_docs
+FROM sq CROSS JOIN z
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "source_mix_weights": q_source_mix_weights,
 }
 
 ORACLES = {
     "tfidf_top_terms": _SQL_TFIDF_TOPK,
     "doc_pii_scrub": _SQL_PII_SCRUB,
+    "source_mix_weights": _SQL_SOURCE_MIX,
 }

@@ -51,7 +51,9 @@ def ddb():
     return con
 
 
-@pytest.mark.parametrize("name", ["tfidf_top_terms", "doc_pii_scrub"])
+@pytest.mark.parametrize(
+    "name", ["tfidf_top_terms", "doc_pii_scrub", "source_mix_weights"]
+)
 def test_duckdb_parity_strict(spark, ddb, name):
     from fakepilot_spark.ops import staged
 
@@ -119,11 +121,33 @@ def test_staged_plan_shapes(spark):
     )
 
 
+def test_source_mix_temperature_flattens(spark):
+    """Weights sum to 1 and alpha=0.5 compresses the mix: every source's
+    weight/share ratio moves toward 1 relative to raw shares (big sources
+    down-weighted, small ones up-weighted)."""
+    from fakepilot_spark.ops.staged import q_source_mix_weights
+
+    rows = q_source_mix_weights(spark, SF).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_docs"] for r in rows) == 500
+    # testdata sources are uniform (weight == share there); the invariant is
+    # directional: sqrt-temperature never amplifies a big source or shrinks
+    # a small one, and is the identity exactly on a uniform mix.
+    big = max(rows, key=lambda r: r["share"])
+    small = min(rows, key=lambda r: r["share"])
+    assert big["weight"] <= big["share"]
+    assert small["weight"] >= small["share"]
+    if big["share"] > small["share"]:
+        assert big["weight"] < big["share"]
+        assert small["weight"] > small["share"]
+
+
 def test_staged_module_not_registered():
     """The freeze discipline itself: staged queries must stay OUT of the
     driver registry until round-5 start (then this test flips to 'in')."""
     import __spark_entry__ as e
 
     qs = e.queries()
-    assert "tfidf_top_terms" not in qs
-    assert "doc_pii_scrub" not in qs
+    for name in ("tfidf_top_terms", "doc_pii_scrub", "source_mix_weights"):
+        assert name not in qs
