@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "doc_dup_span_coverage",
     "stratified_sample_sources",
     "source_cap_sample",
+    "tfidf_top_terms",
+    "doc_pii_scrub",
+    "source_mix_weights",
     "eval_decontaminate",
     "corpus_keep_filter",
     "media_feature_profile",

@@ -26,6 +26,7 @@ def registry():
         multimodal,
         relational,
         similarity,
+        staged,
         temporal,
         textops,
         webops,
@@ -36,7 +37,8 @@ def registry():
     oracles: dict = {}
     for mod in (
         relational, textops, similarity, ivf, crawlops, extraction,
-        multimodal, temporal, webops, graphops, corpusops, streamingops,
+        multimodal, temporal, webops, graphops, corpusops, staged,
+        streamingops,
     ):
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))

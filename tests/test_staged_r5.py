@@ -143,11 +143,13 @@ def test_source_mix_temperature_flattens(spark):
         assert small["weight"] > small["share"]
 
 
-def test_staged_module_not_registered():
-    """The freeze discipline itself: staged queries must stay OUT of the
-    driver registry until round-5 start (then this test flips to 'in')."""
+def test_staged_module_registered():
+    """Flipped at registration time (early this round, per the freeze
+    discipline): the staged queries are now IN the driver registry, with
+    matching oracles."""
     import __spark_entry__ as e
 
-    qs = e.queries()
+    qs, os_ = e.queries(), e.oracle_sql()
     for name in ("tfidf_top_terms", "doc_pii_scrub", "source_mix_weights"):
-        assert name not in qs
+        assert name in qs
+        assert name in os_
