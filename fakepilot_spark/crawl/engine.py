@@ -577,26 +577,32 @@ class CrawlEngine:
         )
         epoch_dir = lambda name: str(self.ckpt / name / f"epoch={epoch}")  # noqa: E731
         obs = Observation(f"results_{epoch}")
-        results = (
-            extracted.select(
-                "url", "depth", "warc_ts",
-                F.col("x.company").alias("company"),
-                F.col("x.reviews").alias("reviews"),
-                F.col("x.links").alias("links"),
-                F.col("x.error").alias("extract_error"),
-            )
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(max(self.spark.sparkContext.defaultParallelism, 4))
-        )
+        results = extracted.select(
+            "url", "depth", "warc_ts",
+            F.col("x.company").alias("company"),
+            F.col("x.reviews").alias("reviews"),
+            F.col("x.links").alias("links"),
+            F.col("x.error").alias("extract_error"),
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        # written straight off the scan partitions: extraction + write is ONE
+        # stage, and the fat extracted structs (company/reviews/links) never
+        # shuffle — one results file per fetch-scan task
         results.write.mode("overwrite").parquet(epoch_dir("results"))
         fetched_n = int(obs.get["n"])
         res = self.spark.read.parquet(epoch_dir("results"))
         t_step = _lap("fetch_extract_write", t_step)
 
-        # 4. lineage: per-partition fetch accounting (north rule fields).
-        # One committed results file == one partition, so the counts come
-        # straight from the parquet footers — no Spark job.
-        self._write_lineage(epoch, epoch_dir("results"), epoch_dir("lineage"))
+        # 4. lineage: per-partition fetch accounting (north rule fields),
+        # aggregated executor-side from the committed results table. It only
+        # needs the committed parquet and owns a disjoint output directory,
+        # so it runs CONCURRENTLY with the expand phase below (the epoch
+        # pool is joined before the manifest write).
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch_pool = ThreadPoolExecutor(4)
+        fut_lineage = epoch_pool.submit(
+            self._write_lineage, epoch, epoch_dir("results"), epoch_dir("lineage")
+        )
         t_step = _lap("lineage", t_step)
 
         # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
@@ -624,16 +630,16 @@ class CrawlEngine:
             new_urls = definitely_new.unionByName(residual)
         else:
             new_urls = links.join(seen, "url", "left_anti")
-        # one action computes the whole expansion (prefilter + anti-join)
-        # and pins it; every commit below reads the pinned rows, so the
-        # expensive plan runs exactly once.
+        # the expansion (prefilter + anti-join) is pinned; it materializes
+        # exactly once INSIDE the concurrent commit jobs below (Spark's
+        # per-block cache locks make later arrivals wait, never recompute),
+        # so its compute overlaps the delta/frontier/sketch writes instead
+        # of running as a separate serialized count pass. The row count
+        # rides the delta write as an observed metric.
         new_frontier = with_frontier_columns(
             new_urls, F.col("depth"), epoch + 1
         ).persist()
-        new_n = new_frontier.count()
-        for cached in self._expand_cache:
-            cached.unpersist()
-        self._expand_cache = []
+        obs_delta = Observation(f"delta_{epoch}")
         t_step = _lap("expand", t_step)
 
         # 6. next frontier snapshot: survivors (pending minus this batch) +
@@ -650,16 +656,19 @@ class CrawlEngine:
             )
         )
 
-        # 5b+6+7 run CONCURRENTLY: the delta commit, the frontier snapshot
-        # write, and the sketch build all read the pinned expansion (or
-        # already-committed parquet) and touch disjoint outputs — three
-        # driver threads submit the jobs so the cluster is never idle
-        # between them. The manifest (the atomic commit point) still writes
+        # 5b+6+7 run CONCURRENTLY (on the epoch pool that already carries
+        # the lineage write): the delta commit, the frontier snapshot write,
+        # and the sketch build all read the pinned expansion (or
+        # already-committed parquet) and touch disjoint outputs — driver
+        # threads submit the jobs so the cluster is never idle between
+        # them. The manifest (the atomic commit point) still writes
         # strictly after every one of them has finished.
-        from concurrent.futures import ThreadPoolExecutor
 
-        def _commit_delta() -> None:
-            new_frontier.write.mode("overwrite").parquet(self._delta_path(epoch))
+        def _commit_delta() -> int:
+            new_frontier.observe(
+                obs_delta, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(self._delta_path(epoch))
+            return int(obs_delta.get["n"])
 
         def _commit_frontier() -> int:
             next_frontier.write.mode("overwrite").parquet(
@@ -674,14 +683,20 @@ class CrawlEngine:
                 )
             return bloom
 
-        with ThreadPoolExecutor(3) as pool:
-            fut_delta = pool.submit(_commit_delta)
-            fut_frontier = pool.submit(_commit_frontier)
-            fut_sketches = pool.submit(_build)
-            fut_delta.result()
+        try:
+            fut_delta = epoch_pool.submit(_commit_delta)
+            fut_frontier = epoch_pool.submit(_commit_frontier)
+            fut_sketches = epoch_pool.submit(_build)
+            new_n = fut_delta.result()
             pending_after = fut_frontier.result()
             new_bloom = fut_sketches.result()
+            fut_lineage.result()
+        finally:
+            epoch_pool.shutdown(wait=True)
         new_frontier.unpersist()
+        for cached in self._expand_cache:
+            cached.unpersist()
+        self._expand_cache = []
         t_step = _lap("frontier_commit", t_step)
 
         self._write_bloom(epoch, new_bloom)
