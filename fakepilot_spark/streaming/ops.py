@@ -51,7 +51,13 @@ def stream_events_hourly(
 ):
     """Watermarked tumbling-window aggregation (event-time, late data ≤ 1h
     dropped after the watermark passes). Returns the started query; results
-    land in the in-memory sink table ``queryName``."""
+    land in the in-memory sink table ``queryName``.
+
+    TEST UTILITY ONLY — the ``memory`` sink in ``complete`` mode holds the
+    whole result on the driver, which is wrong at any real scale. It is
+    deliberately NOT a registry query; the registry's streaming operators
+    (``stream_user_totals``, ``stream_event_dedup``) use the distributed
+    ``foreachBatch`` parquet-sink pattern instead."""
     stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
