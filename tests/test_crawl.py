@@ -134,6 +134,22 @@ def test_extraction_outputs_present(engine_run):
     assert reviews.count() > 0
 
 
+def test_lineage_accounts_for_every_fetch(engine_run, spark):
+    """North-rule lineage fields (BASELINE.json:6): every committed epoch
+    carries a lineage table whose per-partition ``urls_fetched`` sums to the
+    epoch's fetch count, with the epoch id and a fetch timestamp on every
+    row."""
+    engine, summary = engine_run
+    for ep in summary["epochs"]:
+        rows = spark.read.parquet(
+            str(engine.ckpt / "lineage" / f"epoch={ep['epoch']}")
+        ).collect()
+        assert sum(r["urls_fetched"] for r in rows) == ep["urls_fetched"]
+        assert {r["frontier_epoch"] for r in rows} == {ep["epoch"]}
+        assert all(r["fetch_ts"] is not None for r in rows)
+        assert len({r["partition_id"] for r in rows}) == len(rows)
+
+
 def test_resume_reproduces_uninterrupted_run(spark, corpus_df, tmp_path_factory, engine_run):
     """Kill after 2 epochs, resume, compare to the uninterrupted run."""
     full_engine, _ = engine_run
