@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "source_mix_weights",
     "eval_decontaminate",
     "corpus_keep_filter",
+    "doc_bm25_topk",
+    "doc_split_assign",
+    "doc_dsir_weight",
     "media_feature_profile",
     "stream_user_totals",
     "asof_order_before_event",

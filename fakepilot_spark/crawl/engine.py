@@ -88,6 +88,14 @@ class CrawlEngine:
         self._robots = robots_df(spark, config.robots_rules)
         self._politeness = politeness_df(spark, config.host_budgets)
         self._expand_cache: list = []  # DataFrames pinned for one expand step
+        # deferred sketch build (round-4 verdict item 3): epoch N's sketch
+        # build runs on this 1-worker pool, overlapping epoch N+1's
+        # drain/fetch/extract instead of sitting on N's critical path. The
+        # single worker serializes builds (N's build always finishes before
+        # N+1's is submitted — N+1 joins the future before its expand).
+        self._sketch_pool = None
+        self._sketch_future = None
+        self._sketch_future_epoch: int | None = None
         if config.pages_path and config.pages_buckets:
             self._validate_pages_buckets()
 
@@ -599,91 +607,104 @@ class CrawlEngine:
         # pool is joined before the manifest write).
         from concurrent.futures import ThreadPoolExecutor
 
+        # The try/finally opens IMMEDIATELY after the pool exists: an
+        # exception anywhere in the expand phase below must still join the
+        # in-flight lineage write, or an epoch retry could race the stale
+        # thread's mode=overwrite parquet into the same epoch directory
+        # (round-4 ADVICE, medium).
         epoch_pool = ThreadPoolExecutor(4)
-        fut_lineage = epoch_pool.submit(
-            self._write_lineage, epoch, epoch_dir("results"), epoch_dir("lineage")
-        )
-        t_step = _lap("lineage", t_step)
-
-        # 5. expand: normalize links, min-depth dedupe, sketch prefilter,
-        #    exact residual anti-join against the full seen set; the epoch's
-        #    delta commits once and is the seen-set increment.
-        links = (
-            res.select(
-                F.explode_outer("links").alias("url"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-            .filter(F.col("url").startswith("http"))
-            .groupBy("url")
-            .agg(F.min("depth").alias("depth"))
-        )
-        seen = self._read_seen_through(epoch - 1)
-        self._expand_cache = []
-        if cfg.use_sketches and bloom is not None:
-            flagged = self._sketch_prefilter(links, bloom, cuckoo_epoch=epoch - 1)
-            definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            residual = (
-                flagged.filter(F.col("maybe_seen"))
-                .drop("maybe_seen")
-                .join(seen, "url", "left_anti")
-            )
-            new_urls = definitely_new.unionByName(residual)
-        else:
-            new_urls = links.join(seen, "url", "left_anti")
-        # the expansion (prefilter + anti-join) is pinned; it materializes
-        # exactly once INSIDE the concurrent commit jobs below (Spark's
-        # per-block cache locks make later arrivals wait, never recompute),
-        # so its compute overlaps the delta/frontier/sketch writes instead
-        # of running as a separate serialized count pass. The row count
-        # rides the delta write as an observed metric.
-        new_frontier = with_frontier_columns(
-            new_urls, F.col("depth"), epoch + 1
-        ).persist()
-        obs_delta = Observation(f"delta_{epoch}")
-        t_step = _lap("expand", t_step)
-
-        # 6. next frontier snapshot: survivors (pending minus this batch) +
-        #    the newly discovered URLs; laid out by (host_prefix, salt).
-        survivors = pending.join(batch.select("url"), "url", "left_anti")
-        obs_front = Observation(f"frontier_{epoch}")
-        next_frontier = (
-            survivors.unionByName(new_frontier)
-            .observe(obs_front, F.count(F.lit(1)).alias("n"))
-            .repartition(
-                max(self.spark.sparkContext.defaultParallelism, 4),
-                "host_prefix",
-                "salt",
-            )
-        )
-
-        # 5b+6+7 run CONCURRENTLY (on the epoch pool that already carries
-        # the lineage write): the delta commit, the frontier snapshot write,
-        # and the sketch build all read the pinned expansion (or
-        # already-committed parquet) and touch disjoint outputs — driver
-        # threads submit the jobs so the cluster is never idle between
-        # them. The manifest (the atomic commit point) still writes
-        # strictly after every one of them has finished.
-
-        def _commit_delta() -> int:
-            new_frontier.observe(
-                obs_delta, F.count(F.lit(1)).alias("n")
-            ).write.mode("overwrite").parquet(self._delta_path(epoch))
-            return int(obs_delta.get["n"])
-
-        def _commit_frontier() -> int:
-            next_frontier.write.mode("overwrite").parquet(
-                self._frontier_path(epoch)
-            )
-            return int(obs_front.get["n"])
-
-        def _build():
-            if cfg.use_sketches:
-                return self._build_sketches(
-                    new_frontier.select("url"), bloom, epoch
-                )
-            return bloom
-
         try:
+            # 4b. lineage runs concurrently; its wall time is recorded from
+            # inside the future (the old step label timed only the submit —
+            # see BASELINE.md "step semantics" note).
+            def _timed_lineage():
+                t_l = _t()
+                self._write_lineage(
+                    epoch, epoch_dir("results"), epoch_dir("lineage")
+                )
+                steps["lineage_concurrent"] = round(_t() - t_l, 3)
+
+            fut_lineage = epoch_pool.submit(_timed_lineage)
+
+            # 5. expand: normalize links, min-depth dedupe, sketch
+            #    prefilter, exact residual anti-join against the full seen
+            #    set; the epoch's delta commits once and is the seen-set
+            #    increment.
+            links = (
+                res.select(
+                    F.explode_outer("links").alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .filter(F.col("url").startswith("http"))
+                .groupBy("url")
+                .agg(F.min("depth").alias("depth"))
+            )
+            seen = self._read_seen_through(epoch - 1)
+            self._expand_cache = []
+            if cfg.use_sketches and bloom is not None:
+                flagged = self._sketch_prefilter(links, bloom, cuckoo_epoch=epoch - 1)
+                definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                residual = (
+                    flagged.filter(F.col("maybe_seen"))
+                    .drop("maybe_seen")
+                    .join(seen, "url", "left_anti")
+                )
+                new_urls = definitely_new.unionByName(residual)
+            else:
+                new_urls = links.join(seen, "url", "left_anti")
+            # the expansion (prefilter + anti-join) is pinned; it materializes
+            # exactly once INSIDE the concurrent commit jobs below (Spark's
+            # per-block cache locks make later arrivals wait, never recompute),
+            # so its compute overlaps the delta/frontier/sketch writes instead
+            # of running as a separate serialized count pass. The row count
+            # rides the delta write as an observed metric.
+            new_frontier = with_frontier_columns(
+                new_urls, F.col("depth"), epoch + 1
+            ).persist()
+            obs_delta = Observation(f"delta_{epoch}")
+            t_step = _lap("expand", t_step)
+
+            # 6. next frontier snapshot: survivors (pending minus this batch) +
+            #    the newly discovered URLs; laid out by (host_prefix, salt).
+            survivors = pending.join(batch.select("url"), "url", "left_anti")
+            obs_front = Observation(f"frontier_{epoch}")
+            next_frontier = (
+                survivors.unionByName(new_frontier)
+                .observe(obs_front, F.count(F.lit(1)).alias("n"))
+                .repartition(
+                    max(self.spark.sparkContext.defaultParallelism, 4),
+                    "host_prefix",
+                    "salt",
+                )
+            )
+
+            # 5b+6+7 run CONCURRENTLY (on the epoch pool that already carries
+            # the lineage write): the delta commit, the frontier snapshot write,
+            # and the sketch build all read the pinned expansion (or
+            # already-committed parquet) and touch disjoint outputs — driver
+            # threads submit the jobs so the cluster is never idle between
+            # them. The manifest (the atomic commit point) still writes
+            # strictly after every one of them has finished.
+
+            def _commit_delta() -> int:
+                new_frontier.observe(
+                    obs_delta, F.count(F.lit(1)).alias("n")
+                ).write.mode("overwrite").parquet(self._delta_path(epoch))
+                return int(obs_delta.get["n"])
+
+            def _commit_frontier() -> int:
+                next_frontier.write.mode("overwrite").parquet(
+                    self._frontier_path(epoch)
+                )
+                return int(obs_front.get["n"])
+
+            def _build():
+                if cfg.use_sketches:
+                    return self._build_sketches(
+                        new_frontier.select("url"), bloom, epoch
+                    )
+                return bloom
+
             fut_delta = epoch_pool.submit(_commit_delta)
             fut_frontier = epoch_pool.submit(_commit_frontier)
             fut_sketches = epoch_pool.submit(_build)

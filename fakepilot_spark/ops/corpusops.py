@@ -66,20 +66,22 @@ from .textops import _STOPWORD_PATTERN, _hash60
 # Q: duplicated-span coverage (ExactSubstr approximation, Lee et al. 2022).
 # --------------------------------------------------------------------------
 
-_SPAN_W = 4  # window width in tokens (production ExactSubstr: ~50)
+# Window width in tokens.  The registered query uses W=4 (the synthetic
+# documents are short — production ExactSubstr uses ~50); the algorithm is
+# W-parameterized and parity-gated at W=50 too (tests/test_dup_span_w50.py),
+# so the driver-checked width is a configuration, not a structural limit.
+_SPAN_W = 4
 
 
-def q_doc_dup_span_coverage(spark, sf):
+def dup_span_coverage(docs, W=_SPAN_W):
     """Per-document duplicated-window count and exact token-position
-    coverage of cross-document duplicated ``_SPAN_W``-grams.
+    coverage of cross-document duplicated ``W``-grams.
 
     Interval-union trick: windows are fixed-width, so after sorting a
     doc's duplicated positions the union length is
     ``sum(least(W, pos - lag(pos)))`` with the first row contributing W —
     one per-doc window pass, no interval data structure.
     """
-    W = _SPAN_W
-    docs = load(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
 
@@ -140,26 +142,32 @@ def q_doc_dup_span_coverage(spark, sf):
     )
 
 
-_SQL_DUP_SPAN = f"""
+def q_doc_dup_span_coverage(spark, sf):
+    return dup_span_coverage(load(spark, sf, "documents"), _SPAN_W)
+
+
+def sql_dup_span(W=_SPAN_W):
+    """DuckDB oracle for ``dup_span_coverage`` at window width ``W``."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), w0 AS (
   SELECT doc_id, t,
-         unnest(generate_series(1, len(t) - {_SPAN_W - 1})) AS pos
-  FROM toks WHERE len(t) >= {_SPAN_W}
+         unnest(generate_series(1, len(t) - {W - 1})) AS pos
+  FROM toks WHERE len(t) >= {W}
 ), wins AS (
   SELECT doc_id, pos,
          ('0x' || substr(md5(array_to_string(
-             t[pos:pos + {_SPAN_W - 1}], ' ')), 1, 15))::BIGINT AS g
+             t[pos:pos + {W - 1}], ' ')), 1, 15))::BIGINT AS g
   FROM w0
 ), dup_grams AS (
   SELECT g FROM (SELECT g, doc_id FROM wins GROUP BY g, doc_id)
   GROUP BY g HAVING COUNT(*) >= 2
 ), cov AS (
   SELECT doc_id, pos,
-         LEAST({_SPAN_W}, pos - COALESCE(
+         LEAST({W}, pos - COALESCE(
              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
-             pos - {_SPAN_W})) AS add_cov
+             pos - {W})) AS add_cov
   FROM wins JOIN dup_grams USING (g)
 ), perdoc AS (
   SELECT doc_id, COUNT(*) AS dup_windows,
@@ -168,12 +176,15 @@ WITH toks AS (
 )
 SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(GREATEST(len(string_split(d.text, ' ')) - {_SPAN_W - 1}, 0)
+       CAST(GREATEST(len(string_split(d.text, ' ')) - {W - 1}, 0)
             AS BIGINT) AS n_windows,
        CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
        CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
+
+
+_SQL_DUP_SPAN = sql_dup_span(_SPAN_W)
 
 # --------------------------------------------------------------------------
 # Q: stratified hash sampling — deterministic per-stratum keep rates.

@@ -37,17 +37,53 @@ def _fake_decode_features(payload: bytes, n_features: int = 8) -> list:
     Folds payload bytes into ``n_features`` accumulators (feature j = sum of
     bytes at positions ≡ j mod n_features) — stable, content-sensitive, and
     library-free; integer-valued doubles, so aggregates over them are exact
-    on any engine. A real deployment swaps this single function for
-    PIL/torchaudio/ffmpeg and nothing else changes.
+    on any engine.  Always valid regardless of which libraries are
+    installed: the driver-contract query uses it *explicitly* because its
+    DuckDB oracle recomputes the same fold arithmetically.
     """
-    if _REAL_DECODERS:  # pragma: no cover
-        raise NotImplementedError("wire real decoders here")
     arr = np.frombuffer(payload, dtype=np.uint8)
     pad = (-len(arr)) % n_features
     if pad:
         arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
     folded = arr.reshape(-1, n_features).sum(axis=0, dtype=np.float64)
     return [float(x) for x in folded]
+
+
+def _real_decode_features(payload: bytes, n_features: int = 8) -> list:
+    """Real decode path: PIL image → grayscale → ``n_features``-column
+    resize → per-column pixel means.  Only reachable when PIL is installed
+    (it is not in this container, by contract); raises with a clear message
+    rather than silently falling back, so a misconfigured deployment fails
+    loudly instead of producing fake features.
+    """
+    if not _REAL_DECODERS:
+        raise RuntimeError(
+            "real decoders requested but PIL is not installed; use "
+            "decode_features(..., use_real=False) for the deterministic fake"
+        )
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    img = img.resize((n_features, 1))
+    return [float(x) for x in np.asarray(img, dtype=np.float64).ravel()]
+
+
+def decode_features(
+    payload: bytes, n_features: int = 8, use_real: bool | None = None
+) -> list:
+    """Dispatch decode + feature extraction.
+
+    ``use_real=None`` (default) auto-selects: the real PIL path when the
+    library is present, the deterministic byte-fold otherwise.  The
+    driver-contract query pins ``_fake_decode_features`` directly — its
+    oracle depends on the fold's determinism — so installing PIL changes
+    nothing there.
+    """
+    if use_real is None:
+        use_real = _REAL_DECODERS
+    if use_real:
+        return _real_decode_features(payload, n_features)
+    return _fake_decode_features(payload, n_features)
 
 
 def media_items(spark, sf) -> DataFrame:

@@ -1,11 +1,9 @@
-"""STAGED round-5 operators — implemented and parity-tested, NOT registered.
-
-This module is deliberately absent from ``registry()`` in
-``fakepilot_spark/ops/__init__.py``: queries that enter the driver contract
-mid-round get no CORRECTNESS row (the driver snapshots at round end and the
-judge marks snapshot-less queries weak — see VERDICT.md round 3, finding 1).
-Registration is one line at round-5 start: add ``staged_next`` to the module
-tuple in ``registry()`` and flip ``test_staged_next_not_registered``.
+"""Ranking/selection operators staged in round 4, REGISTERED at round-5
+start (per the registry-freeze discipline: queries must enter the driver
+contract at the start of a round to be inside the driver's snapshot window —
+see VERDICT.md round 3 finding 1 and ``ops/__init__.py:_SNAPSHOT_ORDER``).
+All three were bit-strict DuckDB-parity-tested at sf0.001 AND sf0.01 before
+registration (tests/test_staged_next_r5.py).
 
 Operators (all pure native Spark SQL — codegen end to end, no Python in any
 plan; every floating sum is carried in BIGINT fixed-point so Spark and
@@ -107,14 +105,17 @@ def q_doc_bm25_topk(spark, sf):
             F.sum("tf").alias("n_hits"),
             F.sum("sc").alias("sc_fxp"),
         )
+        # Sort + limit BEFORE projecting sc_fxp away: the top-k tiebreak must
+        # bind to the exact fixed-point sum, not rely on Spark resolving a
+        # hidden column through the projection.
+        .orderBy(F.desc("sc_fxp"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
         .select(
             "doc_id",
             "n_terms",
             "n_hits",
             (F.col("sc_fxp") / _FXP).alias("bm25"),
         )
-        .orderBy(F.desc("sc_fxp"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
     )
 
 

@@ -159,44 +159,74 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
-def q_ngram_jaccard_pairs(spark, sf):
-    # Deliberately a token-postings JOIN, not the groupBy + in-group pair
-    # expansion the LSH queries use: high-df tokens (stopwords) would
-    # materialize df² pair structs inside single rows under the expansion
-    # (measured 2× slower and memory-hostile), while the join streams
-    # candidate pairs into an immediate aggregate. The token explode it
-    # duplicates is a cheap split (no hashing). Candidate volume is
-    # O(Σ df²) either way — this is the documented naive oracle anchor;
-    # MinHash-LSH is the scale path.
-    docs = load(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+# Candidate-generation document-frequency cap (round-4 verdict hardening):
+# tokens appearing in more than this many documents of a source are excluded
+# from the postings self-join, so one stopword-like token can no longer make
+# candidate volume quadratic in the source size.  Exact Jaccard is then
+# recomputed over the FULL token sets for surviving candidates, so the cap
+# changes membership only for pairs whose every shared token has df > cap —
+# at jaccard ≥ 0.9 that would require a pair built entirely of
+# corpus-saturating tokens, exactly the pairs LSH-style blocking also
+# forfeits.  The DuckDB oracle mirrors the cap bit-for-bit.
+_JACCARD_DF_CAP = 100
+
+
+def _jaccard_candidates(tokset, cap=_JACCARD_DF_CAP):
+    """Same-source candidate pairs from df-capped token postings.
+
+    ``tokset``: (doc_id, source, toks array).  Candidate volume is
+    O(Σ_{df≤cap} df²) ≤ cap · Σ df — linear in corpus size for fixed cap,
+    regardless of token skew.
+    """
+    toks = tokset.select("doc_id", "source", F.explode("toks").alias("tok"))
+    rare = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("source", "tok")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
+    ptoks = toks.join(rare, ["source", "tok"])
+    a = ptoks.alias("a")
+    b = ptoks.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    # Two-phase: (1) candidates from a df-capped token-postings join —
+    # bounded even under stopword skew (see _JACCARD_DF_CAP above); (2)
+    # exact Jaccard over the full distinct-token arrays for candidates only
+    # (one array_intersect per surviving pair, linear in candidates).
+    # Still the documented naive oracle anchor; MinHash-LSH is the scale
+    # path for recall beyond same-source blocking.
+    docs = load(spark, sf, "documents")
+    tokset = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    cand = _jaccard_candidates(tokset)
+    sa = tokset.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = tokset.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     jac = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("sa.n_toks") + F.col("sb.n_toks") - F.col("n_common")),
+                / (F.size("toks_a") + F.size("toks_b") - F.col("n_common")),
                 4,
             ),
         )
@@ -204,24 +234,32 @@ def q_ngram_jaccard_pairs(spark, sf):
     return jac.filter(F.col("jaccard") >= 0.9).select("doc_a", "doc_b", "jaccard")
 
 
-_SQL_NGRAM_JACCARD = """
-WITH toks AS (
-  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+_SQL_NGRAM_JACCARD = f"""
+WITH tokset AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
   FROM documents
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM toks a JOIN toks b
+), toks AS (
+  SELECT doc_id, source, unnest(toks) AS tok FROM tokset
+), rare AS (
+  SELECT source, tok FROM (
+    SELECT source, tok, COUNT(*) AS df FROM toks GROUP BY source, tok
+  ) WHERE df <= {_JACCARD_DF_CAP}
+), ptoks AS (
+  SELECT t.doc_id, t.source, t.tok FROM toks t JOIN rare USING (source, tok)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ptoks a JOIN ptoks b
     ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sa.toks, sb.toks))
+               / (len(sa.toks) + len(sb.toks)
+                  - len(list_intersect(sa.toks, sb.toks))), 4) AS jaccard
+  FROM cand
+  JOIN tokset sa ON doc_a = sa.doc_id
+  JOIN tokset sb ON doc_b = sb.doc_id
 )
-SELECT doc_a, doc_b,
-       ROUND(n_common / (sa.n_toks + sb.n_toks - n_common), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE ROUND(n_common / (sa.n_toks + sb.n_toks - n_common), 4) >= 0.9
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.9
 """
 
 # --------------------------------------------------------------------------

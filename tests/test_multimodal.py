@@ -48,3 +48,40 @@ def test_documents_corpus_is_ascii():
             "WHERE octet_length(encode(text)) != length(text)"
         ).fetchone()
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII document rows"
+
+
+def test_decode_features_dispatch_fake_branch():
+    """Without real decoders, decode_features auto-selects the fake fold;
+    forcing the real path raises a clear error instead of fake output
+    (round-4 ADVICE: the old guard raised on the *healthy* branch)."""
+    import pytest
+
+    from fakepilot_spark.ops import multimodal as mm
+
+    payload = b"abcdefgh" * 3
+    want = mm._fake_decode_features(payload)
+    assert mm.decode_features(payload) == want  # auto: PIL absent here
+    assert mm.decode_features(payload, use_real=False) == want
+    with pytest.raises(RuntimeError, match="PIL is not installed"):
+        mm.decode_features(payload, use_real=True)
+
+
+def test_decode_features_dispatch_real_branch(monkeypatch):
+    """With real decoders present (simulated), auto-dispatch takes the real
+    path and never touches the fake fold."""
+    from fakepilot_spark.ops import multimodal as mm
+
+    calls = {}
+
+    def fake_real(payload, n_features=8):
+        calls["payload"] = payload
+        return [1.0] * n_features
+
+    monkeypatch.setattr(mm, "_REAL_DECODERS", True)
+    monkeypatch.setattr(mm, "_real_decode_features", fake_real)
+    out = mm.decode_features(b"xyz")
+    assert out == [1.0] * 8
+    assert calls["payload"] == b"xyz"
+    # the fake stays selectable even when real decoders exist (the
+    # driver-contract query pins it for oracle determinism)
+    assert mm.decode_features(b"abcdefgh", use_real=False) == mm._fake_decode_features(b"abcdefgh")

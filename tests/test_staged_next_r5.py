@@ -2,9 +2,8 @@
 the driver's bit-strict float repr, the split-stability property, and the
 plan shapes the module docstring claims.
 
-These queries are NOT in the driver registry yet (registration happens at
-round-5 start so the driver snapshot includes them — VERDICT.md round 3,
-finding 1); this file is their correctness gate until then.
+Registered at round-5 start, inside the driver's 50-entry snapshot window
+(VERDICT.md round 3 finding 1; ops/__init__.py:_SNAPSHOT_ORDER).
 """
 
 from __future__ import annotations
@@ -137,11 +136,14 @@ def test_staged_next_plans_native(spark, name):
     assert "Window" not in plan  # none of the three uses any window at all
 
 
-def test_staged_next_module_not_registered():
-    """The freeze discipline itself: staged queries must stay OUT of the
-    driver registry until round-5 start (then this test flips to 'in')."""
+def test_staged_next_module_registered():
+    """Round-5 start: the staged queries entered the driver registry (with
+    oracles), inside the driver's 50-entry snapshot window."""
     import __spark_entry__ as e
 
-    qs = e.queries()
+    qs = list(e.queries())
+    oracles = e.oracle_sql()
     for name in NAMES:
-        assert name not in qs
+        assert name in qs
+        assert name in oracles
+        assert qs.index(name) < 50

@@ -2,9 +2,8 @@
 driver's bit-strict float repr, the PII schedule/self-evidencing properties,
 and the plan shapes the module docstring claims.
 
-These queries are NOT in the driver registry yet (registration happens at
-round-5 start so the driver snapshot includes them — VERDICT.md round 3,
-finding 1); this file is their correctness gate until then.
+Registered late in round 4; in round 5 they sit inside the driver's
+50-entry snapshot window (ops/__init__.py:_SNAPSHOT_ORDER).
 """
 
 from __future__ import annotations
@@ -62,6 +61,26 @@ def test_duckdb_parity_strict(spark, ddb, name):
     assert got[0] == want[0], f"{name}: column names diverge"
     assert len(got[1]) == len(want[1]), f"{name}: row counts diverge"
     assert got[1] == want[1], f"{name}: value multiset diverges"
+
+
+@pytest.mark.parametrize(
+    "name", ["tfidf_top_terms", "doc_pii_scrub", "source_mix_weights"]
+)
+def test_duckdb_parity_strict_sf001(spark, name):
+    """Same bit-strict gate at sf0.01 — the SF the driver checks at (the
+    module docstring claims parity at both SFs; round-4 ADVICE caught that
+    only sf0.001 was pinned here)."""
+    from fakepilot_spark.ops import staged
+
+    sf_mid = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_mid}/{t}.parquet')"
+        )
+    got = _canon(staged.QUERIES[name](spark, sf_mid).toPandas())
+    want = _canon(con.execute(staged.ORACLES[name]).df())
+    assert got == want
 
 
 def test_pii_schedule_and_self_evidence(spark):
