@@ -229,7 +229,11 @@ class CrawlEngine:
         return str(self.ckpt / "sketches" / f"epoch={epoch}" / "cuckoo")
 
     def _build_sketches(
-        self, urls: DataFrame, prev_bloom: bytes | None, epoch: int
+        self,
+        urls: DataFrame,
+        prev_bloom: bytes | None,
+        epoch: int,
+        include_prev_cuckoo: bool = True,
     ) -> bytes:
         """One distributed pass builds BOTH sketches; neither merge touches
         the driver with per-partition state:
@@ -284,9 +288,11 @@ class CrawlEngine:
         frags = hashed.mapInPandas(build, "pid int, blob binary").persist()
 
         # cuckoo: fragments ∪ previous table → per-pid merge → epoch table
+        # (include_prev_cuckoo=False on the rebuild-from-deltas path, where
+        # the fragments already cover the full seen set)
         cuckoo_frags = frags.filter(F.col("pid") >= 0)
         prev_dir = self._cuckoo_dir(epoch - 1)
-        if Path(prev_dir).exists():
+        if include_prev_cuckoo and Path(prev_dir).exists():
             cuckoo_frags = cuckoo_frags.unionByName(
                 self.spark.read.parquet(prev_dir)
             )
@@ -452,11 +458,16 @@ class CrawlEngine:
             start_epoch = 0
 
         summaries = []
-        for epoch in range(start_epoch, limit):
-            summary = self._run_epoch(epoch)
-            summaries.append(summary)
-            if summary["pending_after"] == 0:
-                break
+        try:
+            for epoch in range(start_epoch, limit):
+                summary = self._run_epoch(epoch)
+                summaries.append(summary)
+                if summary["pending_after"] == 0:
+                    break
+        finally:
+            # join the last epoch's deferred sketch build: run() returning
+            # means all committed state (sketches included) is on disk.
+            self._flush_sketches()
         return {
             "epochs": summaries,
             "total_fetched": sum(s["urls_fetched"] for s in summaries),
@@ -493,15 +504,97 @@ class CrawlEngine:
     def _write_bloom(self, epoch: int, bloom: bytes | None) -> None:
         """The bloom blob is the one driver-held sketch (it exists to be
         broadcast); the cuckoo table is committed distributedly by
-        :meth:`_build_sketches` under the same epoch directory."""
+        :meth:`_build_sketches` under the same epoch directory.
+
+        Written atomically (tmp + rename) and strictly AFTER the cuckoo
+        table: ``bloom.bin`` present ⇒ the epoch's whole sketch set is
+        complete. The deferred-build resume path relies on this marker."""
+        import os
+
         d = self.ckpt / "sketches" / f"epoch={epoch}"
         d.mkdir(parents=True, exist_ok=True)
         if bloom is not None:
-            (d / "bloom.bin").write_bytes(bloom)
+            tmp = d / "bloom.bin.tmp"
+            tmp.write_bytes(bloom)
+            os.replace(tmp, d / "bloom.bin")
 
     def _read_bloom(self, epoch: int) -> bytes | None:
         f = self.ckpt / "sketches" / f"epoch={epoch}" / "bloom.bin"
         return f.read_bytes() if f.exists() else None
+
+    # -- deferred sketch build ---------------------------------------------
+
+    def _submit_sketch_build(self, epoch: int, prev_bloom: bytes | None) -> None:
+        """Queue epoch ``epoch``'s sketch build on the background worker.
+
+        The build reads the COMMITTED delta parquet (never an in-memory
+        DataFrame, so it has no lifetime coupling to the epoch that spawned
+        it) and overlaps the next epoch's drain/fetch/extract — the next
+        epoch joins the future in :meth:`_resolve_bloom` right before its
+        expand phase, which is the first point that needs the sketches."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._sketch_pool is None:
+            self._sketch_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="sketch-build"
+            )
+        delta = self._delta_path(epoch)
+
+        def _build_deferred() -> bytes:
+            urls = (
+                self.spark.read.schema(FRONTIER_SCHEMA)
+                .parquet(delta)
+                .select("url")
+            )
+            blob = self._build_sketches(urls, prev_bloom, epoch)
+            self._write_bloom(epoch, blob)
+            return blob
+
+        self._sketch_future = self._sketch_pool.submit(_build_deferred)
+        self._sketch_future_epoch = epoch
+
+    def _resolve_bloom(self, epoch: int) -> bytes | None:
+        """Bloom blob AFTER ``epoch``: join the in-flight deferred build when
+        it is the producer; otherwise read the committed blob; rebuild from
+        the delta union when the blob is missing (crash after the manifest
+        but before the deferred sketch write — the manifest contract covers
+        results/delta/frontier/lineage, sketches are a derived artifact)."""
+        if not self.cfg.use_sketches:
+            return None
+        fut = self._sketch_future
+        if fut is not None:
+            # quiesce regardless of epoch match: a stale build (retried
+            # epoch) must finish before this epoch overwrites its inputs.
+            blob = fut.result()
+            self._sketch_future = None
+            if self._sketch_future_epoch == epoch:
+                return blob
+        blob = self._read_bloom(epoch)
+        if blob is None:
+            blob = self._rebuild_sketches(epoch)
+        return blob
+
+    def _rebuild_sketches(self, epoch: int) -> bytes:
+        """Sketches for ``epoch`` are missing: rebuild BOTH sketches from the
+        committed delta union (the exact seen set through ``epoch``) and
+        commit them under this epoch. ``include_prev_cuckoo=False`` because
+        the rebuild inserts every seen URL itself — unioning the previous
+        cuckoo table would double-insert every fingerprint."""
+        urls = self._read_seen_through(epoch)
+        bloom = self._build_sketches(
+            urls, None, epoch, include_prev_cuckoo=False
+        )
+        self._write_bloom(epoch, bloom)
+        return bloom
+
+    def _flush_sketches(self) -> None:
+        """Join any in-flight deferred build (run() exit / error paths)."""
+        if self._sketch_future is not None:
+            self._sketch_future.result()
+            self._sketch_future = None
+        if self._sketch_pool is not None:
+            self._sketch_pool.shutdown(wait=True)
+            self._sketch_pool = None
 
     def _run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
@@ -518,7 +611,10 @@ class CrawlEngine:
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
             self._frontier_path(epoch - 1)
         )
-        bloom = self._read_bloom(epoch - 1) if cfg.use_sketches else None
+        # bloom(epoch-1) may still be building on the background worker
+        # (deferred sketch build) — it is first needed at the expand phase,
+        # so resolution happens there; drain/fetch/extract proceed without it.
+        bloom: bytes | None = None
 
         # 1. robots + politeness admission, then the ordered global micro-batch.
         # Fast paths (semantics-preserving): an empty robots dim filters
@@ -641,6 +737,12 @@ class CrawlEngine:
             )
             seen = self._read_seen_through(epoch - 1)
             self._expand_cache = []
+            # join the previous epoch's deferred sketch build here — it had
+            # the whole drain/fetch/extract to finish, so this wait is ~0 on
+            # the happy path (recorded honestly when it is not)
+            t_bw = _t()
+            bloom = self._resolve_bloom(epoch - 1)
+            steps["sketch_wait"] = round(_t() - t_bw, 3)
             if cfg.use_sketches and bloom is not None:
                 flagged = self._sketch_prefilter(links, bloom, cuckoo_epoch=epoch - 1)
                 definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -698,19 +800,10 @@ class CrawlEngine:
                 )
                 return int(obs_front.get["n"])
 
-            def _build():
-                if cfg.use_sketches:
-                    return self._build_sketches(
-                        new_frontier.select("url"), bloom, epoch
-                    )
-                return bloom
-
             fut_delta = epoch_pool.submit(_commit_delta)
             fut_frontier = epoch_pool.submit(_commit_frontier)
-            fut_sketches = epoch_pool.submit(_build)
             new_n = fut_delta.result()
             pending_after = fut_frontier.result()
-            new_bloom = fut_sketches.result()
             fut_lineage.result()
         finally:
             epoch_pool.shutdown(wait=True)
@@ -720,8 +813,16 @@ class CrawlEngine:
         self._expand_cache = []
         t_step = _lap("frontier_commit", t_step)
 
-        self._write_bloom(epoch, new_bloom)
-        t_step = _lap("seen_sketches", t_step)
+        # 7. sketches build DEFERRED: submitted against the committed delta
+        # parquet and joined by the NEXT epoch right before its expand —
+        # the build overlaps that epoch's drain/fetch/extract instead of
+        # extending this epoch's critical path. The manifest below commits
+        # results/delta/frontier/lineage; sketches are a derived artifact
+        # (bloom.bin is their completion marker, _resolve_bloom rebuilds
+        # from the delta union when it is missing at resume).
+        if cfg.use_sketches:
+            self._submit_sketch_build(epoch, bloom)
+            t_step = _lap("seen_sketches_submit", t_step)
 
         summary = {
             "epoch": epoch,

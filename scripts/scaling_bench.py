@@ -493,6 +493,17 @@ def main() -> None:
                 "contention (machine-attributable), not a plan property —\n"
                 "the same binary on the same input held the ratio at "
                 "1.03–1.09 in earlier\nhost eras.\n\n" + era + "\n"
+                "\nPer-step (`epoch_steps`) semantics across revisions: "
+                "at rev 315850a the\n`lineage` label timed only the "
+                "executor submit (its real cost folded into\n"
+                "`frontier_commit`); from the deferred-sketch revision "
+                "onward, `lineage_concurrent`\nis the lineage future's own "
+                "duration (recorded inside the worker),\n"
+                "`seen_sketches` is replaced by `seen_sketches_submit` "
+                "(enqueue only) plus\n`sketch_wait` (time the NEXT epoch "
+                "blocked on the deferred build — ~0 on the\nhappy path), "
+                "and the build itself runs off the critical path. Step "
+                "lines are\nonly comparable within one revision.\n"
             )
     except Exception:  # noqa: BLE001
         pass

@@ -168,3 +168,28 @@ def test_sketches_do_not_change_results(spark, corpus_df, tmp_path_factory, engi
     engine = _mk_engine(spark, corpus_df, ckpt, use_sketches=False)
     engine.run()
     assert engine.fetched_urls_in_order() == full_engine.fetched_urls_in_order()
+
+
+def test_resume_rebuilds_missing_sketches(spark, corpus_df, tmp_path_factory, engine_run):
+    """Deferred-build crash window: the manifest commits BEFORE the epoch's
+    sketches land, so a crash there leaves manifest-present /
+    sketches-absent state. Resume must rebuild both sketches from the
+    committed delta union and reproduce the uninterrupted run exactly."""
+    import shutil
+
+    full_engine, _ = engine_run
+    ckpt = tmp_path_factory.mktemp("crawl_sketchloss")
+    e1 = _mk_engine(spark, corpus_df, ckpt)
+    e1.run(max_epochs=2)
+    last = e1.last_committed_epoch()
+    assert last == 1
+    # simulate the crash: epoch 1's manifest is committed but its sketch
+    # directory never got written
+    sk = ckpt / "sketches" / f"epoch={last}"
+    assert (sk / "bloom.bin").exists()  # flush wrote it on the happy path
+    shutil.rmtree(sk)
+    e2 = _mk_engine(spark, corpus_df, ckpt)  # fresh engine = process restart
+    e2.run()
+    assert e2.fetched_urls_in_order() == full_engine.fetched_urls_in_order()
+    # the rebuilt sketches were committed under the epoch that lost them
+    assert (sk / "bloom.bin").exists()
