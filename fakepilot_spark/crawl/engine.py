@@ -445,12 +445,13 @@ class CrawlEngine:
 
             frontier = seeds_frontier(self.spark, cfg.seeds)
             frontier.write.mode("overwrite").parquet(self._delta_path(-1))
-            bloom = (
-                self._build_sketches(frontier.select("url"), None, epoch=-1)
-                if cfg.use_sketches
-                else None
-            )
-            self._write_bloom(-1, bloom)
+            if cfg.use_sketches:
+                # DEFERRED like every other epoch's build: the seed sketches
+                # are first needed at epoch 0's expand, so the build overlaps
+                # epoch 0's drain/fetch/extract instead of serializing in
+                # front of the whole crawl. Crash before the build lands →
+                # _resolve_bloom(-1) rebuilds from the committed seed delta.
+                self._submit_sketch_build(-1, None)
             _manifest_path(self.ckpt, -1).parent.mkdir(exist_ok=True)
             _manifest_path(self.ckpt, -1).write_text(
                 json.dumps({"epoch": -1, "seeded": len(cfg.seeds)})
@@ -460,13 +461,17 @@ class CrawlEngine:
         summaries = []
         try:
             for epoch in range(start_epoch, limit):
-                summary = self._run_epoch(epoch)
+                summary = self._run_epoch(epoch, last=epoch == limit - 1)
                 summaries.append(summary)
                 if summary["pending_after"] == 0:
                     break
         finally:
-            # join the last epoch's deferred sketch build: run() returning
-            # means all committed state (sketches included) is on disk.
+            # join any in-flight deferred build (an early `pending_after == 0`
+            # exit may have submitted one). The LAST epoch never submits a
+            # build: its sketches have no consumer in this run, and a resume
+            # rebuilds them from the committed delta union on first need —
+            # sketches are a derived artifact, the manifest contract covers
+            # results/delta/frontier/lineage only.
             self._flush_sketches()
         return {
             "epochs": summaries,
@@ -596,7 +601,7 @@ class CrawlEngine:
             self._sketch_pool.shutdown(wait=True)
             self._sketch_pool = None
 
-    def _run_epoch(self, epoch: int) -> dict:
+    def _run_epoch(self, epoch: int, last: bool = False) -> dict:
         cfg = self.cfg
         t0 = time.time()
         steps: dict = {}
@@ -819,8 +824,10 @@ class CrawlEngine:
         # extending this epoch's critical path. The manifest below commits
         # results/delta/frontier/lineage; sketches are a derived artifact
         # (bloom.bin is their completion marker, _resolve_bloom rebuilds
-        # from the delta union when it is missing at resume).
-        if cfg.use_sketches:
+        # from the delta union when it is missing at resume). The LAST
+        # epoch of the run skips the submit entirely — no epoch in this run
+        # consumes its sketches, and a resume rebuilds on first need.
+        if cfg.use_sketches and not last:
             self._submit_sketch_build(epoch, bloom)
             t_step = _lap("seen_sketches_submit", t_step)
 

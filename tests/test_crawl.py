@@ -171,25 +171,25 @@ def test_sketches_do_not_change_results(spark, corpus_df, tmp_path_factory, engi
 
 
 def test_resume_rebuilds_missing_sketches(spark, corpus_df, tmp_path_factory, engine_run):
-    """Deferred-build crash window: the manifest commits BEFORE the epoch's
-    sketches land, so a crash there leaves manifest-present /
-    sketches-absent state. Resume must rebuild both sketches from the
-    committed delta union and reproduce the uninterrupted run exactly."""
-    import shutil
-
+    """Manifest-present / sketches-absent state must resume exactly. This is
+    now the NORMAL end-of-run state, not just a crash window: the last epoch
+    of a run never builds sketches (no epoch in that run consumes them), so
+    a resume's first expand rebuilds both sketches from the committed delta
+    union. The deferred-build crash window (a kill between an earlier
+    epoch's manifest and its background sketch write) leaves the identical
+    on-disk state, so this covers both."""
     full_engine, _ = engine_run
     ckpt = tmp_path_factory.mktemp("crawl_sketchloss")
     e1 = _mk_engine(spark, corpus_df, ckpt)
     e1.run(max_epochs=2)
     last = e1.last_committed_epoch()
     assert last == 1
-    # simulate the crash: epoch 1's manifest is committed but its sketch
-    # directory never got written
     sk = ckpt / "sketches" / f"epoch={last}"
-    assert (sk / "bloom.bin").exists()  # flush wrote it on the happy path
-    shutil.rmtree(sk)
+    # the last epoch's sketch build is skipped by design: manifest committed,
+    # sketches absent — exactly what a crash mid-deferred-build leaves behind
+    assert not (sk / "bloom.bin").exists()
     e2 = _mk_engine(spark, corpus_df, ckpt)  # fresh engine = process restart
     e2.run()
     assert e2.fetched_urls_in_order() == full_engine.fetched_urls_in_order()
-    # the rebuilt sketches were committed under the epoch that lost them
+    # the rebuilt sketches were committed under the epoch that lacked them
     assert (sk / "bloom.bin").exists()
