@@ -19,6 +19,14 @@ Measurement policy (bias-free stopping):
   utilization and flat CPU/URL across the two runs) — the sandbox VM's
   available CPU flaps 2-4× on minute timescales and unfair windows must be
   excluded, but fairness is independent of the measured efficiency;
+* attempts LAUNCH only in windows where two host probes are healthy: a
+  CPU burn (hypervisor grants N runnable vCPUs) and a memory-bandwidth
+  stream (noisy neighbours can saturate the host DRAM bus: measured
+  2→8-process stream scaling collapsed to 0.30 on 2026-08-19 ~03:30Z vs
+  0.92-0.93 in fair eras — no code scales across cores in such a window).
+  Both probes run BEFORE the attempt and never look at crawl output, so
+  window selection stays independent of the measured value; the fairness
+  verdict on a launched attempt is unchanged (runs' own metrics only);
 * the headline is the MEDIAN fair-pair efficiency (all fair-pair
   efficiencies are listed); efficiency is always computed within one
   attempt's back-to-back (N, 4N) runs, never across attempts;
@@ -224,6 +232,34 @@ def burn_fairness(n_, four_n_, iters=6_000_000):
     )
 
 
+# The CPU burn is cache-resident: it cannot see a noisy neighbour saturating
+# the host's DRAM bus, which is exactly how this VM's degraded eras present
+# (2-core floor flat, 8-core CPU/URL inflated — BASELINE.md era table). The
+# stream probe (scripts/membw_probe.py methodology) measures that directly;
+# it gates the ≤8-core pair only — at 32 procs even the fair-era stream
+# ceiling is ~0.17, so there is no separating threshold there.
+MEMBW_GATE = 0.6  # fair eras measure 0.92-0.93; the poisoned era 0.20-0.30
+
+
+def membw_fairness(n_, four_n_, reps=2):
+    """Best-of-``reps`` n→4n memory-bandwidth stream scaling. A LAUNCH gate
+    like ``burn_fairness`` — decides only whether to start an attempt, is
+    measured before the runs, and never reads crawl output, so window
+    selection stays independent of the measured efficiency."""
+    import membw_probe
+
+    best: dict = {}
+    for _ in range(reps):
+        for procs in (n_, four_n_):
+            with mp.Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(membw_probe._stream, [membw_probe.ARR_MB] * procs)
+                best[procs] = max(
+                    best.get(procs, 0.0), procs / (time.time() - t0)
+                )
+    return (best[four_n_] / best[n_]) / (four_n_ / n_)
+
+
 HIST = REPO / "BENCH" / "runs.jsonl"
 
 
@@ -323,6 +359,12 @@ def main() -> None:
                       f"{gate} — waiting for a fair window", flush=True)
                 time.sleep(60)
                 continue
+            mb_before = membw_fairness(n, four_n) if four_n <= 8 else None
+            if mb_before is not None and mb_before < MEMBW_GATE:
+                print(f"attempt {attempt}: membw fairness {mb_before:.2f} < "
+                      f"{MEMBW_GATE} — DRAM bus contended, waiting", flush=True)
+                time.sleep(60)
+                continue
             runs = {}
             for cpus in (n, four_n):
                 print(f"attempt {attempt}: local[{cpus}] corpus={pages} "
@@ -335,6 +377,8 @@ def main() -> None:
                 r["fast_host"] = fair
                 r["pair_id"] = pair_id
                 r["burn_before"] = round(f_before, 3)
+                if mb_before is not None:
+                    r["membw_before"] = round(mb_before, 3)
                 with HIST.open("a") as f:
                     f.write(json.dumps(r) + "\n")
                 print(json.dumps(r), flush=True)
