@@ -173,14 +173,19 @@ def crawl_bench(spark, sf: float, runs: int = 1) -> list[dict]:
     # bucketed by url hash so the fetch scan can prune); the timed crawl
     # scans these files like any production pages corpus.
     pages = materialize_corpus(spark, corpus_dir, n_pages, **page_kwargs)
-    # size input splits so the fetch-join scan (which carries extraction)
-    # fans out to ~10 tasks/core (short stage tail at high core counts)
-    # regardless of corpus bytes; all three conf overrides are restored in
-    # the finally below so the operator suite runs on session defaults.
-    total_bytes = sum(
+    # one fetch-scan task per corpus file at ANY core count: each file is a
+    # single parquet row group (~20 MB at bench scale), the natural parallel
+    # grain of the bucketed corpus. The old bytes/(cores*10) sizing packed
+    # 2-3 files per task, leaving a ragged last wave — measured ~5% of
+    # 8-core wall idling in the fetch stage tail — while a sub-row-group
+    # split would spawn empty byte-range tasks. split = max file + open
+    # cost keeps every task exactly one file (192 files = whole multiples
+    # of 2/8/32 cores). All three conf overrides are restored in the
+    # finally below so the operator suite runs on session defaults.
+    sizes = [
         f.stat().st_size for f in Path(corpus_dir).rglob("*.parquet")
-    )
-    split = max(total_bytes // (CPUS * 10), 1 << 20)
+    ]
+    split = max(max(sizes) + (1 << 18), 1 << 20)
     saved_conf = {
         k: spark.conf.get(k)
         for k in (

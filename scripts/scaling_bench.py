@@ -88,6 +88,12 @@ _MEASUREMENT_PATHS = [
     "fakepilot_spark/corpus.py",
     "fakepilot_spark/htmlmini.py",
     "scripts/crawl_only.py",
+    # bench.py defines the measured job itself (crawl_bench: corpus shape,
+    # split sizing, engine config) — a change there is a new measurement
+    # revision exactly like an engine change. Added 2026-08-19; earlier
+    # revisions pooled correctly by accident (bench.py changes always
+    # shipped with engine commits).
+    "bench.py",
 ]
 
 
