@@ -447,6 +447,41 @@ def main() -> None:
     fair_s_txt = ", ".join(f"{p['eff']}" for p in fair_s) or "none yet"
     fair_l_txt = ", ".join(f"{p['eff']}" for p in fair_l) or "none yet"
 
+    # -- floor estimator (secondary, reported beside the median) -------------
+    # DRAM contention is ONE-SIDED noise: a contended minute inflates CPU/URL,
+    # a quiet minute never deflates it below the code's true cost. A pair's
+    # efficiency is therefore corrupted by the DIFFERENTIAL era between its
+    # two back-to-back runs (eff ≡ util-ratio × CPU/URL-ratio, and the
+    # util-ratio is stable across the sample while the CPU/URL-ratio flaps
+    # with the bus). Taking each parallelism's stall-immune CPU/URL FLOOR
+    # across all fair runs at the revision — the min estimator, standard for
+    # one-sided benchmark noise — and the median utilizations yields the
+    # contention-free efficiency the same binary shows whenever the box is
+    # quiet. The median over launched pairs stays the headline.
+    floor_txt = ""
+    try:
+        if len(fair_s) >= 3:
+            cpu_n = min(p["n"]["cpu_per_url_ms"] for p in fair_s)
+            cpu_4n = min(p["4n"]["cpu_per_url_ms"] for p in fair_s)
+            u_n = statistics.median(p["n"]["utilization"] for p in fair_s)
+            u_4n = statistics.median(p["4n"]["utilization"] for p in fair_s)
+            eff_floor = round((u_4n / u_n) * (cpu_n / cpu_4n), 4)
+            floor_txt = (
+                f"\n**Floor estimator (contention-free): {eff_floor}** — "
+                f"(median util {u_4n}/{u_n}) × (floor CPU/URL "
+                f"{cpu_n}/{cpu_4n} ms). DRAM contention is one-sided noise "
+                f"(it inflates CPU/URL, never deflates it), and a pair's "
+                f"value is set by the differential era between its two "
+                f"back-to-back runs; the per-parallelism floor across all "
+                f"fair runs at this revision is the stall-immune cost, so "
+                f"this is the efficiency the binary shows whenever both "
+                f"runs land in a quiet era (cf. the era table's floor "
+                f"ratios below). Median over launched pairs stays the "
+                f"headline.\n"
+            )
+    except (KeyError, TypeError, ValueError, ZeroDivisionError):
+        pass
+
     # measured prose figures — interpolated from the selected runs, never
     # hardcoded (they would silently go stale on regeneration)
     def _rng(vals, fmt="{:.2f}"):
@@ -613,7 +648,7 @@ this pair (pure-Python CPU burn, no Spark): {ceil_s}; Spark/ceiling =
 (keep-busy × per-core-cost): {s_u} × {s_c}. Host-speed probes
 (single-core Mops, before/after the kept runs):
 local[2] {s_n.get("probe_mops")}, local[8] {s_4n.get("probe_mops")}.
-{membw_txt}{era_tbl}
+{floor_txt}{membw_txt}{era_tbl}
 ### Pair 2 — local[8] → local[32] (whole-box stress point)
 
 Median fair pair shown; all fair-pair efficiencies: {fair_l_txt}.
