@@ -35,7 +35,12 @@ while time.time() < deadline:
     invocation += 1
     with log.open("a") as f:
         subprocess.run(
-            [sys.executable, "scripts/scaling_bench.py", "--pair", which],
+            # --skip-suite: reuse the committed suite.json medians (measured
+            # in a fair era) instead of re-running the 3x operator suite per
+            # invocation — this wrapper exists precisely because the host is
+            # degraded, and a degraded-era suite would overwrite good medians.
+            [sys.executable, "scripts/scaling_bench.py", "--pair", which,
+             "--skip-suite"],
             cwd=str(repo), stdout=f, stderr=subprocess.STDOUT,
         )
     time.sleep(30)
